@@ -1,0 +1,316 @@
+"""Static configuration tree for the VIO pipeline.
+
+The reference (ref:config/*.yaml, parsed via cv::FileStorage in each
+component's loadParameters(), SURVEY.md §2 "Config files") spreads parameters
+over per-component loaders. Here the whole configuration is one frozen,
+hashable dataclass tree so it can be closed over / passed as a static argument
+to ``jax.jit`` — every shape-determining knob (clone window size, feature-table
+size, IMU slots per frame, image size) lives here, and changing one recompiles
+exactly one executable.
+
+YAML loading accepts the reference's EuRoC-style schema (see
+``load_yaml``) so existing LARVIO config files are drop-in readable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+# ---------------------------------------------------------------------------
+# camera
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera + distortion model (ref: image_processor loadParameters).
+
+    ``distortion_model`` is one of ``"radtan"`` (radial-tangential, 4 coeffs)
+    or ``"equidistant"`` (Kannala-Brandt fisheye, 4 coeffs) — both supported by
+    the reference (SURVEY.md §2, BASELINE.json:10 UZH-FPV fisheye config).
+    """
+
+    width: int = 752
+    height: int = 480
+    # intrinsics [fu, fv, cu, cv]
+    intrinsics: Tuple[float, float, float, float] = (458.654, 457.296, 367.215, 248.375)
+    distortion_model: str = "radtan"
+    # radtan: [k1, k2, p1, p2]; equidistant: [k1, k2, k3, k4]
+    distortion_coeffs: Tuple[float, float, float, float] = (
+        -0.28340811,
+        0.07395907,
+        0.00019359,
+        1.76187114e-05,
+    )
+    # T_cam_imu: rotation (row-major 3x3) and translation, mapping IMU-frame
+    # points into the camera frame: p_c = R_ci @ p_i + t_ci  (Kalibr convention)
+    R_cam_imu: Tuple[float, ...] = (
+        0.014865542981794,
+        0.999557249008346,
+        -0.025774436697440,
+        -0.999880929698575,
+        0.014967213324719,
+        0.003756188357967,
+        0.004140296794224,
+        0.025715529947966,
+        0.999660727177902,
+    )
+    t_cam_imu: Tuple[float, float, float] = (
+        0.065222909535531,
+        -0.020706385492719,
+        -0.008054602460030,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMU / process noise
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """Continuous-time IMU noise densities (ref: imu_state.h static members)."""
+
+    gyro_noise: float = 0.005  # rad/s/sqrt(Hz)
+    acc_noise: float = 0.05  # m/s^2/sqrt(Hz)
+    gyro_bias_noise: float = 0.001  # rad/s^2/sqrt(Hz)
+    acc_bias_noise: float = 0.01  # m/s^3/sqrt(Hz)
+    # pixel observation noise (std, normalized-plane units = px / focal)
+    observation_noise: float = 0.035
+
+
+# ---------------------------------------------------------------------------
+# front-end
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Feature-tracking front-end (ref: ImageProcessor, SURVEY.md §3.2).
+
+    All sizes are static: the feature table has exactly ``max_features`` slots
+    with an alive mask; the detection grid is ``grid_rows x grid_cols`` with a
+    per-cell cap — the reference's dynamic per-cell vectors become fixed slot
+    ranges.
+    """
+
+    max_features: int = 200
+    grid_rows: int = 4
+    grid_cols: int = 5
+    grid_min_feature_num: int = 3
+    grid_max_feature_num: int = 10
+    pyramid_levels: int = 3
+    patch_size: int = 15
+    fast_threshold: float = 15.0  # detector response threshold (grayscale units)
+    max_iteration: int = 12  # LK Gauss-Newton iterations per level
+    track_precision: float = 0.01  # LK convergence threshold (px)
+    ransac_threshold: float = 3.0  # px, two-point RANSAC inlier gate
+    ransac_hypotheses: int = 64  # fixed hypothesis count (vectorized RANSAC)
+    orb_distance_threshold: int = 60  # Hamming gate for descriptor check
+    min_distance: int = 15  # min spacing between detected corners (px)
+
+
+# ---------------------------------------------------------------------------
+# filter (back-end)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Hybrid-MSCKF estimator (ref: larvio.h loadParameters, SURVEY.md §3.3).
+
+    Error-state layout (fixed, padded — SURVEY.md §7 layer 4):
+
+    ``[ imu(15) | extrinsic(6) | td(1) | clones(6 x max_clones) | slam(3 x max_slam) ]``
+
+    imu block: [dtheta(3), dbg(3), dv(3), dba(3), dp(3)].
+    Each clone block: [dtheta_c(3), dp_c(3)].
+    """
+
+    max_clones: int = 20
+    max_slam_features: int = 0  # hybrid SLAM features (0 = pure MSCKF)
+    imu_slots_per_frame: int = 16  # padded IMU samples per camera frame
+    max_update_features: int = 40  # max dead tracks per MSCKF update batch
+    estimate_extrinsic: bool = True
+    estimate_td: bool = True
+    td_initial: float = 0.0
+    # triangulation
+    tri_max_iterations: int = 10
+    tri_translation_threshold: float = 0.2  # checkMotion baseline gate (m)
+    tri_max_depth: float = 60.0
+    tri_min_depth: float = 0.2
+    # gating
+    chi2_confidence: float = 0.95
+    huber_epsilon: float = 0.01
+    # ZUPT (ref: CJA 2020 closed-form zero velocity update)
+    enable_zupt: bool = True
+    zupt_max_feature_dis: float = 2e-3  # normalized-plane mean track motion gate
+    zupt_noise_v: float = 1e-2  # m/s
+    zupt_noise_p: float = 1e-2  # m
+    zupt_noise_q: float = 3.4e-2  # rad
+    # online reset (ref: onlineReset(), SURVEY.md §5 failure detection)
+    position_std_threshold: float = 8.0
+    # pruning
+    redundancy_angle_threshold: float = 0.2618  # rad (~15 deg)
+    redundancy_distance_threshold: float = 0.4  # m
+    # initialization
+    static_init_samples: int = 200  # IMU samples for static initialization
+    static_init_accel_var: float = 0.25  # stationarity gate on |a| variance
+    # numerics
+    use_fej: bool = True
+
+
+@dataclass(frozen=True)
+class VioConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    gravity: float = 9.81
+
+    def replace(self, **kw: Any) -> "VioConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# YAML loading (reference-schema compatible)
+# ---------------------------------------------------------------------------
+
+# Mapping from reference YAML keys (ref:config/*.yaml — key names per
+# SURVEY.md §2 "Config files", [LOW] confidence so aliases are accepted)
+# to our dataclass fields.
+_FRONTEND_KEYS = {
+    "grid_row": "grid_rows",
+    "grid_col": "grid_cols",
+    "grid_min_feature_num": "grid_min_feature_num",
+    "grid_max_feature_num": "grid_max_feature_num",
+    "pyramid_levels": "pyramid_levels",
+    "patch_size": "patch_size",
+    "fast_threshold": "fast_threshold",
+    "max_iteration": "max_iteration",
+    "track_precision": "track_precision",
+    "ransac_threshold": "ransac_threshold",
+}
+_FILTER_KEYS = {
+    "max_cam_state_size": "max_clones",
+    "max_features_in_state": "max_slam_features",
+    "estimate_extrin": "estimate_extrinsic",
+    "estimate_td": "estimate_td",
+    "td": "td_initial",
+    "zupt_max_feature_dis": "zupt_max_feature_dis",
+    "zupt_noise_v": "zupt_noise_v",
+    "zupt_noise_p": "zupt_noise_p",
+    "zupt_noise_q": "zupt_noise_q",
+    "position_std_threshold": "position_std_threshold",
+    "feature_translation_threshold": "tri_translation_threshold",
+}
+_NOISE_KEYS = {
+    "gyro_noise": "gyro_noise",
+    "acc_noise": "acc_noise",
+    "gyro_bias_noise": "gyro_bias_noise",
+    "acc_bias_noise": "acc_bias_noise",
+    "observation_noise": "observation_noise",
+    "noise_gyro": "gyro_noise",
+    "noise_acc": "acc_noise",
+    "noise_gyro_bias": "gyro_bias_noise",
+    "noise_acc_bias": "acc_bias_noise",
+    "noise_feature": "observation_noise",
+}
+
+
+def _parse_opencv_yaml(text: str) -> dict:
+    """Parse the cv::FileStorage YAML dialect used by the reference configs.
+
+    Handles the ``%YAML:1.0`` directive, ``!!opencv-matrix`` tags and plain
+    ``key: value`` scalars without requiring PyYAML (kept dependency-free; the
+    full pipeline must run in a hermetic environment).
+    """
+    import re
+
+    text = re.sub(r"^%YAML[^\n]*\n", "", text)
+    text = text.replace("!!opencv-matrix", "")
+    try:
+        import yaml  # type: ignore
+
+        data = yaml.safe_load(text)
+        if isinstance(data, dict):
+            return data
+    except Exception:
+        pass
+    # minimal fallback: flat "key: value" lines only
+    out: dict = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].rstrip()
+        m = re.match(r"^(\w[\w./-]*):\s*(.+)$", line)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip()
+        if val.startswith("[") and val.endswith("]"):
+            out[key] = [float(x) for x in val[1:-1].split(",") if x.strip()]
+        else:
+            try:
+                out[key] = float(val) if "." in val or "e" in val.lower() else int(val)
+            except ValueError:
+                out[key] = val.strip("\"'")
+    return out
+
+
+def _flatten(d: dict, prefix: str = "") -> dict:
+    flat = {}
+    for k, v in d.items():
+        kk = f"{prefix}{k}"
+        if isinstance(v, dict) and "data" not in v:
+            flat.update(_flatten(v, prefix=f"{kk}/"))
+        else:
+            flat[kk] = v
+    return flat
+
+
+def load_yaml(path: str) -> VioConfig:
+    """Load a VioConfig from a reference-style (or our own) YAML file."""
+    with open(path) as f:
+        raw = _parse_opencv_yaml(f.read())
+    flat = {k.split("/")[-1]: v for k, v in _flatten(raw).items()}
+
+    def pick(mapping: dict) -> dict:
+        out = {}
+        for yaml_key, field_name in mapping.items():
+            if yaml_key in flat:
+                v = flat[yaml_key]
+                if isinstance(v, (int, float)) and field_name.startswith("estimate"):
+                    v = bool(v)
+                out[field_name] = v
+        return out
+
+    cam_kw: dict = {}
+    for key in ("cam0_resolution", "resolution"):
+        if key in flat and isinstance(flat[key], (list, tuple)):
+            cam_kw["width"], cam_kw["height"] = int(flat[key][0]), int(flat[key][1])
+    for key in ("cam0_intrinsics", "intrinsics"):
+        if key in flat and isinstance(flat[key], (list, tuple)):
+            cam_kw["intrinsics"] = tuple(float(x) for x in flat[key])
+    for key in ("cam0_distortion_model", "distortion_model"):
+        if key in flat and isinstance(flat[key], str):
+            model = flat[key]
+            cam_kw["distortion_model"] = {"radial-tangential": "radtan"}.get(model, model)
+    for key in ("cam0_distortion_coeffs", "distortion_coeffs"):
+        if key in flat and isinstance(flat[key], (list, tuple)):
+            cam_kw["distortion_coeffs"] = tuple(float(x) for x in flat[key])
+    t_ci = flat.get("T_cam_imu") or flat.get("T_cam0_imu")
+    if t_ci is not None:
+        if isinstance(t_ci, dict):
+            t_ci = t_ci.get("data")
+        mat = [float(x) for x in t_ci]
+        if len(mat) == 16:
+            cam_kw["R_cam_imu"] = tuple(mat[r * 4 + c] for r in range(3) for c in range(3))
+            cam_kw["t_cam_imu"] = (mat[3], mat[7], mat[11])
+
+    return VioConfig(
+        camera=CameraConfig(**cam_kw),
+        noise=NoiseConfig(**pick(_NOISE_KEYS)),
+        frontend=FrontendConfig(**{k: (int(v) if isinstance(getattr(FrontendConfig, k, 0), int) else v) for k, v in pick(_FRONTEND_KEYS).items()}),
+        filter=FilterConfig(**pick(_FILTER_KEYS)),
+    )

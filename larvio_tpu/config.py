@@ -132,7 +132,7 @@ class FilterConfig:
 
     max_clones: int = 20
     max_slam_features: int = 0  # hybrid SLAM features (0 = pure MSCKF)
-    imu_slots_per_frame: int = 16  # padded IMU samples per camera frame
+    imu_slots_per_frame: int = 24  # padded IMU samples per camera frame
     max_update_features: int = 40  # max dead tracks per MSCKF update batch
     estimate_extrinsic: bool = True
     estimate_td: bool = True
@@ -148,7 +148,15 @@ class FilterConfig:
     # ZUPT (ref: CJA 2020 closed-form zero velocity update)
     enable_zupt: bool = True
     zupt_max_feature_dis: float = 2e-3  # normalized-plane mean track motion gate
-    zupt_noise_v: float = 1e-2  # m/s
+    # sigma of the v=0 pseudo-measurement. Kept of the order of the smallest
+    # velocity the image-motion detector can actually certify
+    # (threshold * scene depth / frame dt), so a false-positive detection at
+    # slow speed cannot clamp the state inconsistently.
+    zupt_noise_v: float = 1e-1  # m/s
+    # IMU-stillness gates combined with the image test (a slow smooth ramp is
+    # invisible to the image at depth, but shows up in the gyro immediately)
+    zupt_max_gyro: float = 1.5e-2  # rad/s, max |w - bg| over the frame
+    zupt_max_acc_dev: float = 3e-1  # m/s^2, max | |a - ba| - g |
     zupt_noise_p: float = 1e-2  # m
     zupt_noise_q: float = 3.4e-2  # rad
     # online reset (ref: onlineReset(), SURVEY.md §5 failure detection)

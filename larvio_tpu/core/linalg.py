@@ -1,0 +1,104 @@
+"""Dense linear-algebra helpers for the filter.
+
+TPU note: f32 matmuls default to bf16 MXU passes. Covariance algebra needs
+full f32, so every filter matmul goes through :func:`mm` (HIGHEST precision —
+on TPU this selects the 6-pass f32 MXU algorithm). Image-plane compute keeps
+the fast default.
+
+Also home of the masked Householder elimination used for the MSCKF nullspace
+projection (SURVEY.md §3.3 featureJacobian) — built so that padded invalid
+rows are provably untouched (their Householder components are zero), making
+the padded update *exactly* equal to the reference's dynamically-sized one.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full-precision matmul (batched ok)."""
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def symmetrize(P: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (P + jnp.swapaxes(P, -1, -2))
+
+
+def householder_eliminate(A: jnp.ndarray, B: jnp.ndarray, r: jnp.ndarray, ncols: int):
+    """Eliminate the first ``ncols`` columns of A from the system [A B | r].
+
+    Applies ``ncols`` Householder reflections (the Q^T of a QR of A) to A, B
+    and r simultaneously, then returns (B', r') with the first ``ncols`` rows
+    implicitly discarded by zeroing. Rows of A that are exactly zero (padding)
+    are fixed points of every reflection, so padding is exact, **provided the
+    first ``ncols`` rows are valid** — callers must compact valid rows to the
+    front.
+
+    A: (m, ncols), B: (m, n), r: (m,).
+    Returns (B', r', row_keep) with row_keep masking out the eliminated rows.
+    """
+    m = A.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+
+    def body(k, carry):
+        A_, B_, r_ = carry
+        x = jnp.where(rows >= k, A_[:, k], 0.0)
+        normx = jnp.sqrt(jnp.sum(x * x) + 1e-30)
+        x_k = jnp.sum(jnp.where(rows == k, x, 0.0))
+        alpha = -jnp.sign(jnp.where(x_k == 0, 1.0, x_k)) * normx
+        v = x - alpha * (rows == k).astype(x.dtype)
+        vnorm2 = jnp.sum(v * v) + 1e-30
+        # H = I - 2 v v^T / |v|^2 applied to each column
+        def refl(M):
+            return M - (2.0 / vnorm2) * jnp.outer(v, jnp.matmul(v, M, precision=_HI))
+
+        return refl(A_), refl(B_), r_ - (2.0 / vnorm2) * v * jnp.dot(v, r_)
+
+    A2, B2, r2 = jax.lax.fori_loop(
+        0, ncols, body, (A.astype(jnp.float32), B.astype(jnp.float32), r.astype(jnp.float32)),
+        unroll=True,
+    )
+    row_keep = rows >= ncols
+    return (
+        jnp.where(row_keep[:, None], B2, 0.0),
+        jnp.where(row_keep, r2, 0.0),
+        row_keep,
+    )
+
+
+def qr_compress(H: jnp.ndarray, r: jnp.ndarray):
+    """Compress a tall stacked measurement system to state dimension.
+
+    Counterpart of the reference's Givens/QR measurement compression
+    (BASELINE.json:5; measurementUpdate in ref:src/larvio.cpp). H's zero
+    (padding) rows make col(H) supported on valid rows only, so Q^T maps the
+    iid measurement noise to iid noise exactly (see tests/test_update.py for
+    the numerical equivalence proof against the dense unpadded computation).
+
+    H: (N, D), r: (N,) -> (D, D) upper-triangular H_c and (D,) r_c.
+    """
+    q, R = jnp.linalg.qr(H, mode="reduced")
+    return R, mm(q.T, r[:, None])[:, 0]
+
+
+def joseph_update(P, H, r, noise_var):
+    """EKF update with Joseph-form covariance for f32 health.
+
+    Returns (dx, P_new). H: (n, D), r: (n,), noise_var: scalar or (n,).
+    """
+    D = P.shape[0]
+    n = H.shape[0]
+    Rn = jnp.broadcast_to(jnp.asarray(noise_var, P.dtype), (n,))
+    PHt = mm(P, H.T)  # (D, n)
+    S = mm(H, PHt) + jnp.diag(Rn)
+    S = symmetrize(S)
+    chol = jax.lax.linalg.cholesky(S + 1e-12 * jnp.eye(n, dtype=P.dtype))
+    K = jax.scipy.linalg.cho_solve((chol, True), PHt.T).T  # (D, n)
+    dx = jnp.matmul(K, r, precision=_HI)
+    IKH = jnp.eye(D, dtype=P.dtype) - mm(K, H)
+    P_new = mm(mm(IKH, P), IKH.T) + mm(K * Rn[None, :], K.T)
+    return dx, symmetrize(P_new)

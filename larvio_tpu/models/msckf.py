@@ -1,0 +1,249 @@
+"""The hybrid-MSCKF per-frame step: the TPU-native LarVio::processFeatures.
+
+Counterpart of ref:src/larvio.cpp processFeatures() (SURVEY.md §3.3). One
+call = one camera frame; everything inside is fixed-shape and mask-driven so
+XLA compiles exactly one executable per sequence configuration, and the whole
+function is scanned over frames / vmapped over fleet instances.
+
+Stage order (mirrors the reference, with the dead-track update moved before
+observation insertion so slot recycling can't clobber history):
+
+  1. static-init accumulation (masked until initialized)
+  2. IMU propagation to t_img + td                       [propagation.py]
+  3. ZUPT detection (image-motion based)                 [zupt.py]
+  4. dead-track selection -> triangulate -> MSCKF blocks [triangulation/update]
+  5. clone-window pruning selection + prune blocks       [prune.py]
+  6. one stacked, QR-compressed, chi2-gated EKF update
+  7. ZUPT update when stationary                         [zupt.py]
+  8. clear consumed rows / pruned slots; zero their P rows
+  9. state augmentation + observation insertion (skipped while stationary)
+ 10. online-reset guard (covariance blow-up containment, SURVEY.md §5)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from larvio_tpu.config import VioConfig
+from larvio_tpu.models import prune as prune_mod
+from larvio_tpu.models.augmentation import add_observations, augment_state
+from larvio_tpu.models.initializer import InitAccumulator, accumulate, try_static_init
+from larvio_tpu.models.propagation import ImuBatch, propagate
+from larvio_tpu.models.state import FilterState, init_filter_state, initial_covariance, state_dim
+from larvio_tpu.models.triangulation import camera_window, triangulate_batch
+from larvio_tpu.models.update import apply_update, feature_block
+from larvio_tpu.models.zupt import detect_stationary, zupt_update
+
+
+class FrameFeatures(NamedTuple):
+    """Front-end -> back-end contract (ref:MonoCameraMeasurement, SURVEY.md §2).
+
+    Slot-aligned with the front-end feature table; all shapes static.
+    """
+
+    ids: jnp.ndarray  # (F,) int32 track ids, -1 invalid
+    uv: jnp.ndarray  # (F, 2) undistorted normalized coords
+    vel: jnp.ndarray  # (F, 2) image-plane velocity (for online td)
+    valid: jnp.ndarray  # (F,) bool
+    mean_motion: jnp.ndarray  # () mean normalized-plane track displacement
+    t: jnp.ndarray  # () image timestamp
+
+
+@struct.dataclass
+class VioState:
+    filter: FilterState
+    init_acc: InitAccumulator
+
+
+class StepOutput(NamedTuple):
+    q: jnp.ndarray  # (4,) world->IMU quaternion
+    p: jnp.ndarray  # (3,)
+    v: jnp.ndarray  # (3,)
+    t: jnp.ndarray  # ()
+    td: jnp.ndarray  # () online time-offset estimate
+    bg: jnp.ndarray  # (3,) gyro bias estimate
+    ba: jnp.ndarray  # (3,) accel bias estimate
+    initialized: jnp.ndarray
+    stationary: jnp.ndarray
+    n_clones: jnp.ndarray
+    n_tracks: jnp.ndarray
+    n_updated: jnp.ndarray  # features accepted into the MSCKF update
+    did_reset: jnp.ndarray
+
+
+def init_vio_state(cfg: VioConfig, dtype=jnp.float32) -> VioState:
+    return VioState(filter=init_filter_state(cfg, dtype), init_acc=InitAccumulator.zero(dtype))
+
+
+def _dead_track_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures):
+    """MSCKF blocks for tracks that died this frame (ref:removeLostFeatures)."""
+    F = cfg.frontend.max_features
+    C = cfg.filter.max_clones
+    K = cfg.filter.max_update_features
+
+    obs = fs.obs
+    # dead: row owned by a track that is no longer tracked in the same slot
+    still_tracked = feats.valid & (feats.ids == obs.track_id)
+    has_row = obs.track_id >= 0
+    n_obs = jnp.sum(obs.valid, axis=1)
+    # every no-longer-tracked row is dead (and will be cleared); rows with a
+    # single observation carry no triangulable information and are simply
+    # dropped by the accept gate downstream
+    dead = has_row & ~still_tracked
+
+    # top-K dead rows by observation count
+    score = jnp.where(dead, n_obs, -1)
+    _, idx = jax.lax.top_k(score, K)
+    sel_valid = jnp.take(dead, idx)
+
+    uv_b = obs.uv[idx]  # (K, C, 2)
+    mask_b = obs.valid[idx] & sel_valid[:, None]
+    vel_b = obs.vel[idx]
+
+    cams = camera_window(fs)
+    tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, mask_b)
+
+    blocks = jax.vmap(
+        lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
+    )(tri.p_w, uv_b, vel_b, mask_b, tri.valid & sel_valid)
+
+    # all dead rows (even unprocessed overflow beyond K with <2 obs) retire now
+    return blocks, dead, idx
+
+
+def _prune_blocks(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune, dead):
+    """One projected row per live feature observed by the clones being pruned."""
+    C = cfg.filter.max_clones
+    obs = fs.obs
+    pruned_cols = jax.nn.one_hot(slot_a, C, dtype=bool) | jax.nn.one_hot(slot_b, C, dtype=bool)
+    row_mask = obs.valid & pruned_cols[None, :]  # (F, C)
+    live = (obs.track_id >= 0) & ~dead & do_prune
+    # need >= 2 involved obs for any information to survive marginalization
+    involved = jnp.sum(row_mask, axis=1)
+    use = live & (involved >= 2) & (jnp.sum(obs.valid, axis=1) >= 2)
+
+    cams = camera_window(fs)
+    tri = triangulate_batch(cfg, cams, fs.clones.frame, obs.uv, obs.valid & use[:, None])
+
+    blocks = jax.vmap(
+        lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
+    )(tri.p_w, obs.uv, obs.vel, row_mask & use[:, None], tri.valid & use)
+    # after 3-column elimination of <=4 rows, row 3 holds all surviving info
+    H_rows = blocks.H[:, 3, :]  # (F, D)
+    r_rows = blocks.r[:, 3]
+    return H_rows, r_rows, blocks.accept
+
+
+def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatch):
+    """One frame. Returns (VioState, StepOutput)."""
+    fs0 = vs.filter
+    dtype = fs0.P.dtype
+    C = cfg.filter.max_clones
+
+    # ---- 1. initialization path (masked) --------------------------------
+    acc = accumulate(vs.init_acc, imu)
+    fs_init, acc, _ = try_static_init(cfg, fs0, acc)
+
+    inited = fs_init.initialized
+
+    # ---- 2. propagation ---------------------------------------------------
+    fs_prop = propagate(cfg, fs_init, imu, feats.t)
+    fs = jax.tree.map(
+        lambda a, b: jnp.where(inited, a, b), fs_prop, fs_init
+    )
+
+    # ---- 3. ZUPT detection ------------------------------------------------
+    n_tracked = jnp.sum(feats.valid)
+    stationary = detect_stationary(cfg, feats.mean_motion, n_tracked, fs, imu) & inited
+
+    # ---- 4. dead-track MSCKF blocks ----------------------------------------
+    dead_blocks, dead_rows, _ = _dead_track_blocks(cfg, fs, feats)
+
+    # ---- 5. pruning selection + blocks -------------------------------------
+    n_clones = jnp.sum(fs.clones.valid)
+    do_prune = (n_clones >= C) & inited
+    slot_a, slot_b = prune_mod.select_redundant(cfg, fs)
+    prune_H, prune_r, prune_accept = _prune_blocks(cfg, fs, slot_a, slot_b, do_prune, dead_rows)
+
+    # ---- 6. one stacked compressed update -----------------------------------
+    K = cfg.filter.max_update_features
+    F = cfg.frontend.max_features
+    D = state_dim(cfg)
+    H_stack = jnp.concatenate(
+        [dead_blocks.H.reshape(K * 2 * C, D), prune_H], axis=0
+    )
+    r_stack = jnp.concatenate([dead_blocks.r.reshape(K * 2 * C), prune_r], axis=0)
+    n_accepted = jnp.sum(dead_blocks.accept) + jnp.sum(prune_accept)
+    # note: vision updates stay ON during detected standstill — chi2 gating
+    # makes them harmless when truly stationary, and they are the correcting
+    # information when the stationarity detector false-positives at slow speed
+    do_update = inited & (n_accepted > 0)
+    fs = apply_update(
+        cfg, fs, H_stack, r_stack, cfg.noise.observation_noise**2, enable=do_update
+    )
+
+    # ---- 7. ZUPT update -----------------------------------------------------
+    fs = zupt_update(cfg, fs, stationary)
+
+    # ---- 8. retire consumed rows + pruned clones ----------------------------
+    obs = fs.obs
+    clear = dead_rows  # every dead row retires whether or not it made the batch
+    obs = obs.replace(
+        valid=obs.valid & ~clear[:, None],
+        track_id=jnp.where(clear, -1, obs.track_id),
+    )
+    fs = fs.replace(obs=obs)
+    fs = prune_mod.remove_clones(cfg, fs, slot_a, slot_b, do_prune)
+
+    # ---- 9. augmentation + observation insertion ----------------------------
+    # Cloning continues through standstill (the reference augments every
+    # frame): ZUPT then constrains consecutive clones, keeping the velocity
+    # variance bounded while vision updates are suspended. The redundancy
+    # pruning heuristic recycles the resulting near-duplicate clones.
+    do_augment = inited & (jnp.sum(fs.clones.valid) < C)
+    # body rate at clone time: last valid IMU sample, bias-corrected
+    last = jnp.argmax(jnp.where(imu.valid, imu.t, -jnp.inf))
+    w_body = imu.w[last] - fs.bg
+    fs, slot = augment_state(cfg, fs, do_augment, w_body)
+    fs = add_observations(cfg, fs, slot, feats.ids, feats.uv, feats.vel, feats.valid)
+
+    # ---- 10. online reset (ref:onlineReset, SURVEY.md §5) -------------------
+    pos_var = jnp.diagonal(fs.P)[12:15]
+    blown = (jnp.max(pos_var) > cfg.filter.position_std_threshold**2) | ~jnp.all(
+        jnp.isfinite(jnp.diagonal(fs.P))
+    )
+    do_reset = blown & inited
+    P_reset = initial_covariance(cfg, dtype)
+    fs = fs.replace(
+        P=jnp.where(do_reset, P_reset, fs.P),
+        clones=fs.clones.replace(valid=fs.clones.valid & ~do_reset),
+        obs=fs.obs.replace(
+            valid=fs.obs.valid & ~do_reset,
+            track_id=jnp.where(do_reset, -1, fs.obs.track_id),
+        ),
+        v=jnp.where(do_reset, 0.0, fs.v),
+        reset_count=fs.reset_count + do_reset.astype(jnp.int32),
+        frame=fs.frame + 1,
+        stationary=stationary,
+    )
+
+    out = StepOutput(
+        q=fs.q,
+        p=fs.p,
+        v=fs.v,
+        t=fs.time,
+        td=fs.td,
+        bg=fs.bg,
+        ba=fs.ba,
+        initialized=inited,
+        stationary=stationary,
+        n_clones=jnp.sum(fs.clones.valid),
+        n_tracks=n_tracked,
+        n_updated=jnp.where(do_update, n_accepted, 0),
+        did_reset=do_reset,
+    )
+    return VioState(filter=fs, init_acc=acc), out

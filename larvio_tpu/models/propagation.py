@@ -1,0 +1,217 @@
+"""IMU propagation of state and covariance with First-Estimates Jacobians.
+
+Counterpart of ref:src/larvio.cpp batchImuProcessing() / processModel() /
+predictNewState() (SURVEY.md §3.3): per IMU sample, RK4 integration of the
+nominal state, third-order state-transition matrix, FEJ/observability fix-up
+against the ``*_null`` linearization points, and the covariance GEMM.
+
+TPU design: the frame's IMU samples arrive as a fixed-size padded batch
+(``imu_slots_per_frame`` slots with a validity mask); propagation is a
+``lax.scan`` over slots, each interval clamped to the propagation target time
+``t_img + td`` — so a changing online ``td`` needs no host round-trip. Zero-dt
+(padding) slots are exact no-ops.
+
+The FEJ fix-up follows the published observability-constrained construction
+(Li & Mourikis IJRR 2013 "High-precision, consistent EKF-based VIO"; the
+"unbiased linear system model" of the reference's Sensors 2019 paper): the
+yaw/position rows of Phi are corrected so the propagated unobservable
+subspace stays in the nullspace of the information gained.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from larvio_tpu.config import VioConfig
+from larvio_tpu.core.linalg import mm, symmetrize
+from larvio_tpu.core.quaternion import quat_to_rotation
+from larvio_tpu.core.so3 import skew
+from larvio_tpu.models.state import (
+    FilterState,
+    IDX_BA,
+    IDX_BG,
+    IDX_P,
+    IDX_THETA,
+    IDX_V,
+    IMU_DIM,
+)
+
+
+class ImuBatch(NamedTuple):
+    """Padded per-frame IMU samples (host bucketing, SURVEY.md §7 layer 2)."""
+
+    t: jnp.ndarray  # (S,) sample timestamps (monotone on valid slots)
+    w: jnp.ndarray  # (S, 3) angular velocity (rad/s)
+    a: jnp.ndarray  # (S, 3) specific force (m/s^2)
+    valid: jnp.ndarray  # (S,) bool
+
+
+def _rk4_nominal(q, v, p, w0, a0, w1, a1, dt, gravity):
+    """Joint RK4 of (q, v, p); IMU inputs linearly interpolated over dt."""
+    g_w = jnp.array([0.0, 0.0, -gravity], q.dtype)
+    wm, am = 0.5 * (w0 + w1), 0.5 * (a0 + a1)
+
+    def deriv(qq, vv, ww, aa):
+        from larvio_tpu.core.quaternion import _omega
+
+        dq = 0.5 * (_omega(ww) @ qq)
+        dv = quat_to_rotation(qq).T @ aa + g_w
+        return dq, dv, vv
+
+    k1q, k1v, k1p = deriv(q, v, w0, a0)
+    k2q, k2v, k2p = deriv(q + 0.5 * dt * k1q, v + 0.5 * dt * k1v, wm, am)
+    k3q, k3v, k3p = deriv(q + 0.5 * dt * k2q, v + 0.5 * dt * k2v, wm, am)
+    k4q, k4v, k4p = deriv(q + dt * k3q, v + dt * k3v, w1, a1)
+    qn = q + (dt / 6.0) * (k1q + 2 * k2q + 2 * k3q + k4q)
+    qn = qn / jnp.linalg.norm(qn)
+    qn = qn * jnp.sign(jnp.where(qn[3] == 0, 1.0, qn[3]))
+    vn = v + (dt / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v)
+    pn = p + (dt / 6.0) * (k1p + 2 * k2p + 2 * k3p + k4p)
+    return qn, vn, pn
+
+
+def _phi_and_Q(cfg: VioConfig, q_old, q_new, v_old, v_new, p_old, p_new,
+               q_null, v_null, p_null, w_hat, a_hat, dt, dtype):
+    """Third-order Phi (15x15) + discrete noise Q, with FEJ fix-up."""
+    nz = cfg.noise
+    g_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
+
+    # continuous-time F, G evaluated at the FEJ linearization point
+    R_null = quat_to_rotation(q_null)  # world->IMU at linearization point
+    F = jnp.zeros((IMU_DIM, IMU_DIM), dtype)
+    F = F.at[IDX_THETA:IDX_THETA + 3, IDX_THETA:IDX_THETA + 3].set(-skew(w_hat))
+    F = F.at[IDX_THETA:IDX_THETA + 3, IDX_BG:IDX_BG + 3].set(-jnp.eye(3, dtype=dtype))
+    F = F.at[IDX_V:IDX_V + 3, IDX_THETA:IDX_THETA + 3].set(-R_null.T @ skew(a_hat))
+    F = F.at[IDX_V:IDX_V + 3, IDX_BA:IDX_BA + 3].set(-R_null.T)
+    F = F.at[IDX_P:IDX_P + 3, IDX_V:IDX_V + 3].set(jnp.eye(3, dtype=dtype))
+
+    G = jnp.zeros((IMU_DIM, 12), dtype)
+    G = G.at[IDX_THETA:IDX_THETA + 3, 0:3].set(-jnp.eye(3, dtype=dtype))
+    G = G.at[IDX_BG:IDX_BG + 3, 3:6].set(jnp.eye(3, dtype=dtype))
+    G = G.at[IDX_V:IDX_V + 3, 6:9].set(-R_null.T)
+    G = G.at[IDX_BA:IDX_BA + 3, 9:12].set(jnp.eye(3, dtype=dtype))
+
+    Fdt = F * dt
+    Fdt2 = mm(Fdt, Fdt)
+    Phi = jnp.eye(IMU_DIM, dtype=dtype) + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * mm(Fdt2, Fdt)
+
+    if cfg.filter.use_fej:
+        # Observability-constrained fix-up (Li & Mourikis; MSCKF FEJ form):
+        # force Phi to map the pre-step unobservable directions (global yaw,
+        # position) onto the post-step ones.
+        R_kk_1 = quat_to_rotation(q_null)  # linearization point at step start
+        Phi = Phi.at[IDX_THETA:IDX_THETA + 3, IDX_THETA:IDX_THETA + 3].set(
+            quat_to_rotation(q_new) @ R_kk_1.T
+        )
+        u = R_kk_1 @ g_w  # gravity in the old linearized body frame
+        s = u / jnp.maximum(jnp.dot(u, u), 1e-12)
+
+        A1 = Phi[IDX_V:IDX_V + 3, IDX_THETA:IDX_THETA + 3]
+        w1 = skew(v_null - v_new) @ g_w
+        Phi = Phi.at[IDX_V:IDX_V + 3, IDX_THETA:IDX_THETA + 3].set(
+            A1 - jnp.outer(A1 @ u - w1, s)
+        )
+        A2 = Phi[IDX_P:IDX_P + 3, IDX_THETA:IDX_THETA + 3]
+        w2 = skew(dt * v_null + p_null - p_new) @ g_w
+        Phi = Phi.at[IDX_P:IDX_P + 3, IDX_THETA:IDX_THETA + 3].set(
+            A2 - jnp.outer(A2 @ u - w2, s)
+        )
+
+    Qc = jnp.diag(
+        jnp.concatenate(
+            [
+                jnp.full(3, nz.gyro_noise**2, dtype),
+                jnp.full(3, nz.gyro_bias_noise**2, dtype),
+                jnp.full(3, nz.acc_noise**2, dtype),
+                jnp.full(3, nz.acc_bias_noise**2, dtype),
+            ]
+        )
+    )
+    Qd = mm(mm(Phi, mm(mm(G, Qc), G.T)), Phi.T) * dt
+    return Phi, Qd
+
+
+def propagate(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.ndarray) -> FilterState:
+    """Propagate state + covariance through the frame's IMU batch.
+
+    ``t_target_img`` is the raw image timestamp; the actual propagation target
+    is ``t_target_img + td`` with the *current* td estimate (online temporal
+    calibration, ref: processFeatures propagating to t_img + td).
+    """
+    dtype = fs.P.dtype
+    t_target = t_target_img + fs.td
+
+    def step(carry, inp):
+        (q, bg, v, ba, p, q_null, v_null, p_null, P, t_cur, w_prev, a_prev) = carry
+        t_s, w_s, a_s, valid_s = inp
+
+        w0, a0 = w_prev - bg, a_prev - ba
+        w1, a1 = w_s - bg, a_s - ba
+        # clamp the interval to the propagation target; invalid slots -> dt 0
+        t_end = jnp.minimum(t_s, t_target)
+        dt = jnp.maximum(t_end - t_cur, 0.0) * valid_s.astype(dtype)
+        # interpolate the endpoint IMU sample if the interval was clamped
+        frac = jnp.where(t_s > t_cur, (t_end - t_cur) / jnp.maximum(t_s - t_cur, 1e-9), 1.0)
+        w1i = w0 + frac * (w1 - w0)
+        a1i = a0 + frac * (a1 - a0)
+
+        q_new, v_new, p_new = _rk4_nominal(q, v, p, w0, a0, w1i, a1i, dt, cfg.gravity)
+        # FEJ null-state propagation uses the same nominal increments
+        q_null_new, v_null_new, p_null_new = q_new, v_new, p_new
+
+        w_hat = 0.5 * (w0 + w1i)
+        a_hat = 0.5 * (a0 + a1i)
+        Phi, Qd = _phi_and_Q(
+            cfg, q, q_new, v, v_new, p, p_new, q_null, v_null, p_null,
+            w_hat, a_hat, dt, dtype,
+        )
+
+        # masked no-op for padding: dt == 0 => Phi = I, Qd = 0 numerically,
+        # but guard explicitly to keep padding exact
+        is_noop = dt <= 0.0
+        Phi = jnp.where(is_noop, jnp.eye(IMU_DIM, dtype=dtype), Phi)
+        Qd = jnp.where(is_noop, jnp.zeros_like(Qd), Qd)
+        q_new = jnp.where(is_noop, q, q_new)
+        v_new = jnp.where(is_noop, v, v_new)
+        p_new = jnp.where(is_noop, p, p_new)
+
+        # P <- diag(Phi, I) P diag(Phi, I)^T + diag(Qd, 0)
+        top = mm(Phi, P[:IMU_DIM, :])  # (15, D)
+        P = P.at[:IMU_DIM, :].set(top)
+        P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi.T))
+        P = P.at[:IMU_DIM, :IMU_DIM].add(Qd)
+
+        t_new = jnp.where(valid_s, jnp.maximum(t_cur, t_end), t_cur)
+        # FEJ bookkeeping (ref processModel tail): linearization points track
+        # the *propagated* estimate; measurement updates later move the
+        # estimate but not these.
+        carry = (
+            q_new, bg, v_new, ba, p_new,
+            jnp.where(is_noop, q_null, q_null_new),
+            jnp.where(is_noop, v_null, v_null_new),
+            jnp.where(is_noop, p_null, p_null_new),
+            P, t_new, w_s, a_s,
+        )
+        return carry, None
+
+    # seed the "previous sample" with the first slot's values (zero-length
+    # first interval) — matches the reference's use of the buffer's first
+    # sample as the interval start.
+    w_first = imu.w[0]
+    a_first = imu.a[0]
+    carry0 = (
+        fs.q, fs.bg, fs.v, fs.ba, fs.p,
+        fs.q_null, fs.v_null, fs.p_null,
+        fs.P, fs.time, w_first, a_first,
+    )
+    carry, _ = jax.lax.scan(step, carry0, (imu.t, imu.w, imu.a, imu.valid))
+    (q, bg, v, ba, p, q_null, v_null, p_null, P, t_cur, _, _) = carry
+
+    return fs.replace(
+        q=q, bg=bg, v=v, ba=ba, p=p,
+        q_null=q_null, v_null=v_null, p_null=p_null,
+        P=symmetrize(P), time=t_target,
+    )

@@ -1,0 +1,202 @@
+"""MSCKF measurement model: Jacobians, nullspace projection, gating, update.
+
+Counterpart of ref:src/larvio.cpp measurementJacobian(), featureJacobian(),
+gatingTest(), measurementUpdate() (SURVEY.md §3.3). All confirmed stages map
+as:
+
+  * per-(feature, clone) Jacobians     -> one vmapped einsum batch
+  * left-nullspace projection of H_f   -> 3 masked Householder reflections
+    (exactly equivalent to the reference's dynamically-sized projection; see
+    core/linalg.householder_eliminate for the padding argument)
+  * chi-square gating                  -> weight-zeroing of rejected features
+  * Givens/QR measurement compression  -> thin QR of the zero-padded stack
+  * EKF update                         -> Joseph form + symmetrization (f32
+    health on TPU, SURVEY.md §7 hard part #2)
+
+FEJ: Jacobians are evaluated at the clones' first-estimate (null) poses while
+residuals use current estimates (Li & Mourikis FEJ; the reference's "FEJ
+handling", BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from larvio_tpu.config import VioConfig
+from larvio_tpu.core.chi2 import chi2_inv
+from larvio_tpu.core.linalg import householder_eliminate, joseph_update, mm, qr_compress, symmetrize
+from larvio_tpu.core.quaternion import quat_multiply, quat_to_rotation, small_angle_quat
+from larvio_tpu.core.so3 import skew
+from larvio_tpu.models.state import (
+    CLONE_BASE,
+    CLONE_DIM,
+    FilterState,
+    IDX_EXT_P,
+    IDX_EXT_THETA,
+    IDX_TD,
+    IMU_DIM,
+    state_dim,
+)
+
+
+class FeatureBlock(NamedTuple):
+    """One feature's nullspace-projected measurement block."""
+
+    H: jnp.ndarray  # (2C, D) projected Jacobian (rows 0..2 zeroed)
+    r: jnp.ndarray  # (2C,) projected residual
+    accept: jnp.ndarray  # () bool — triangulation + gating verdict
+
+
+def _project_jacobian(cfg: VioConfig, fs: FilterState, p_w: jnp.ndarray,
+                      uv: jnp.ndarray, vel: jnp.ndarray, row_mask: jnp.ndarray):
+    """Dense per-feature Jacobians over all clone slots.
+
+    p_w: (3,) triangulated feature. uv: (C, 2) observations. vel: (C, 2)
+    per-observation image velocities. row_mask: (C,) which clone observations
+    contribute *rows* (dead-track update: all valid obs; prune update: only
+    the clones being removed).
+    Returns H_x (2C, D), H_f (2C, 3), r (2C,).
+    """
+    C = cfg.filter.max_clones
+    D = state_dim(cfg)
+    dtype = fs.P.dtype
+    fej = cfg.filter.use_fej
+
+    R_ci = quat_to_rotation(fs.q_ci)
+    # Jacobian linearization poses (FEJ -> clone nulls), residual poses (current)
+    q_lin = fs.clones.q_null if fej else fs.clones.q
+    p_lin = fs.clones.p_null if fej else fs.clones.p
+    R_wi_lin = quat_to_rotation(q_lin)  # (C, 3, 3)
+    R_wi_cur = quat_to_rotation(fs.clones.q)
+    p_cur = fs.clones.p
+
+    # linearized point in IMU / cam frames
+    p_ij = jnp.einsum("nab,nb->na", R_wi_lin, p_w[None, :] - p_lin)  # (C,3)
+    p_cj = jnp.einsum("ab,nb->na", R_ci, p_ij) + fs.t_ci  # (C,3)
+    # residual point at current estimates
+    p_ij_cur = jnp.einsum("nab,nb->na", R_wi_cur, p_w[None, :] - p_cur)
+    p_cj_cur = jnp.einsum("ab,nb->na", R_ci, p_ij_cur) + fs.t_ci
+
+    z3 = p_cj[:, 2]
+    z3 = jnp.where(jnp.abs(z3) < 1e-6, 1e-6, z3)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([1.0 / z3, jnp.zeros_like(z3), -p_cj[:, 0] / z3**2], axis=-1),
+            jnp.stack([jnp.zeros_like(z3), 1.0 / z3, -p_cj[:, 1] / z3**2], axis=-1),
+        ],
+        axis=1,
+    )  # (C, 2, 3)
+
+    JR = jnp.einsum("nij,jk->nik", Jpi, R_ci)  # (C, 2, 3)
+    H_theta = jnp.einsum("nij,njk->nik", JR, skew(p_ij))  # (C,2,3)
+    H_p = -jnp.einsum("nij,njk->nik", JR, R_wi_lin)  # (C,2,3)
+    H_f = -H_p  # dz/dp_w = Jpi R_ci R_wi
+    H_ext_theta = jnp.einsum("nij,njk->nik", Jpi, skew(p_cj - fs.t_ci[None, :]))
+    H_ext_p = Jpi
+    # td enters through the augmentation Jacobian (clone error carries a
+    # pose-rate x dtd component, augmentation.py), NOT through a velocity term
+    # here: clones are stamped at t_img + td_hat(creation), so a measurement
+    # H_td would double-count and turn inconsistent once td_hat evolves.
+
+    # residual at current estimates
+    z3c = p_cj_cur[:, 2]
+    z3c = jnp.where(jnp.abs(z3c) < 1e-6, 1e-6, z3c)
+    pred = p_cj_cur[:, :2] / z3c[:, None]
+    r = jnp.where(row_mask[:, None], uv - pred, 0.0)  # (C, 2)
+
+    # assemble dense rows: (C, 2, D)
+    Hrows = jnp.zeros((C, 2, D), dtype)
+    if cfg.filter.estimate_extrinsic:
+        Hrows = Hrows.at[:, :, IDX_EXT_THETA:IDX_EXT_THETA + 3].set(H_ext_theta)
+        Hrows = Hrows.at[:, :, IDX_EXT_P:IDX_EXT_P + 3].set(H_ext_p)
+    # clone blocks: block-diagonal over clone index
+    eyeC = jnp.eye(C, dtype=dtype)
+    blocks = jnp.concatenate([H_theta, H_p], axis=-1)  # (C, 2, 6)
+    clone_cols = jnp.einsum("cik,cd->cidk", blocks, eyeC).reshape(C, 2, C * CLONE_DIM)
+    Hrows = Hrows.at[:, :, CLONE_BASE:CLONE_BASE + C * CLONE_DIM].set(clone_cols)
+
+    Hrows = jnp.where(row_mask[:, None, None], Hrows, 0.0)
+    H_f = jnp.where(row_mask[:, None, None], H_f, 0.0)
+    return (
+        Hrows.reshape(2 * C, D),
+        H_f.reshape(2 * C, 3),
+        r.reshape(2 * C),
+    )
+
+
+def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, vel, row_mask, tri_valid) -> FeatureBlock:
+    """Build one feature's projected, gated measurement block."""
+    C = cfg.filter.max_clones
+    sigma2 = jnp.asarray(cfg.noise.observation_noise**2, fs.P.dtype)
+
+    # compact valid clone observations to the front (Householder pivot rows
+    # must be valid — core/linalg.householder_eliminate contract)
+    order = jnp.argsort(~row_mask, stable=True)  # valid first
+    uv_s = uv[order]
+    mask_s = row_mask[order]
+    # permute rows consistently by expanding the clone permutation to row pairs
+    H_x, H_f, r = _project_jacobian(cfg, fs, p_w, uv, vel, row_mask)
+    row_perm = (2 * order[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+    H_x, H_f, r = H_x[row_perm], H_f[row_perm], r[row_perm]
+
+    H_o, r_o, _ = householder_eliminate(H_f, H_x, r, 3)
+
+    # chi-square gate (ref:gatingTest): gamma = r^T (H P H^T + s2 I)^-1 r
+    S = mm(H_o, mm(fs.P, H_o.T)) + sigma2 * jnp.eye(2 * C, dtype=fs.P.dtype)
+    gamma = jnp.dot(r_o, jnp.linalg.solve(S, r_o))
+    n_obs = jnp.sum(mask_s)
+    dof = jnp.maximum(2 * n_obs - 3, 1)
+    gate_ok = gamma < chi2_inv(dof, cfg.filter.chi2_confidence)
+
+    accept = tri_valid & gate_ok & (n_obs >= 2)
+    H_o = jnp.where(accept, H_o, 0.0)
+    r_o = jnp.where(accept, r_o, 0.0)
+    return FeatureBlock(H=H_o, r=r_o, accept=accept)
+
+
+def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray,
+                 noise_var, enable=None) -> FilterState:
+    """Compressed EKF update + error injection into the nominal state.
+
+    H: (N, D) stacked (zero rows = padding), r: (N,). ``enable`` (scalar bool)
+    turns the whole update into a no-op while keeping one compiled trace.
+    """
+    D = state_dim(cfg)
+    # whiten per-row noise so QR row-mixing keeps R = I (required: compression
+    # is only noise-preserving for iid rows)
+    n = H.shape[0]
+    sig = jnp.sqrt(jnp.broadcast_to(jnp.asarray(noise_var, fs.P.dtype), (n,)))
+    Hw = H / sig[:, None]
+    rw = r / sig
+    # QR compression to D rows (ref: Givens/QR measurement compression)
+    H_c, r_c = qr_compress(Hw, rw)
+    dx, P_new = joseph_update(fs.P, H_c, r_c, 1.0)
+    if enable is not None:
+        dx = jnp.where(enable, dx, 0.0)
+        P_new = jnp.where(enable, P_new, fs.P)
+    return inject_error(cfg, fs, dx).replace(P=P_new)
+
+
+def inject_error(cfg: VioConfig, fs: FilterState, dx: jnp.ndarray) -> FilterState:
+    """Apply an error-state correction to the nominal state (masked clones)."""
+    C = cfg.filter.max_clones
+    q = quat_multiply(small_angle_quat(dx[0:3]), fs.q)
+    bg = fs.bg + dx[3:6]
+    v = fs.v + dx[6:9]
+    ba = fs.ba + dx[9:12]
+    p = fs.p + dx[12:15]
+    q_ci = quat_multiply(small_angle_quat(dx[IDX_EXT_THETA:IDX_EXT_THETA + 3]), fs.q_ci)
+    t_ci = fs.t_ci + dx[IDX_EXT_P:IDX_EXT_P + 3]
+    td = fs.td + dx[IDX_TD]
+
+    dclone = dx[CLONE_BASE:CLONE_BASE + C * CLONE_DIM].reshape(C, CLONE_DIM)
+    dtheta_c = jnp.where(fs.clones.valid[:, None], dclone[:, 0:3], 0.0)
+    dp_c = jnp.where(fs.clones.valid[:, None], dclone[:, 3:6], 0.0)
+    clones = fs.clones.replace(
+        q=jax.vmap(lambda d, qq: quat_multiply(small_angle_quat(d), qq))(dtheta_c, fs.clones.q),
+        p=fs.clones.p + dp_c,
+    )
+    return fs.replace(q=q, bg=bg, v=v, ba=ba, p=p, q_ci=q_ci, t_ci=t_ci, td=td, clones=clones)

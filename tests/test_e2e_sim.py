@@ -1,0 +1,100 @@
+"""End-to-end filter tests on synthetic sequences (SURVEY.md §4 integration tier).
+
+These are the health gates of the project (see .claude/skills/verify/SKILL.md):
+accuracy on clean/noisy data, online temporal calibration, robustness to
+sensor dropouts, and ZUPT behavior.
+"""
+
+import numpy as np
+import pytest
+
+from larvio_tpu.config import VioConfig
+from larvio_tpu.data.sim import SimConfig, Simulator
+from larvio_tpu.data.evaluate import ate_rmse
+
+
+CFG = VioConfig()
+
+
+def run(sim_cfg: SimConfig, mutate=None):
+    from larvio_tpu.api import run_feature_sequence
+
+    data = Simulator(sim_cfg, CFG).generate()
+    if mutate:
+        mutate(data)
+    vs, outs = run_feature_sequence(CFG, data)
+    m = outs.initialized.astype(bool)
+    return vs, outs, data, m
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_clean_accuracy(self):
+        vs, outs, data, m = run(SimConfig(duration=15.0))
+        assert int(outs.did_reset.sum()) == 0
+        assert ate_rmse(outs.p[m], data["gt_p"][m]) < 0.02
+
+    def test_noisy_accuracy_and_bias_estimation(self):
+        vs, outs, data, m = run(
+            SimConfig(
+                duration=15.0,
+                pixel_noise=0.002,
+                gyro_noise=0.005,
+                acc_noise=0.05,
+                gyro_bias=(0.01, -0.02, 0.015),
+                acc_bias=(0.05, -0.03, 0.08),
+            )
+        )
+        assert int(outs.did_reset.sum()) == 0
+        assert ate_rmse(outs.p[m], data["gt_p"][m]) < 0.10
+        np.testing.assert_allclose(
+            np.asarray(vs.filter.bg), [0.01, -0.02, 0.015], atol=2e-3
+        )
+
+    def test_online_time_offset(self):
+        vs, outs, data, m = run(SimConfig(duration=15.0, pixel_noise=0.001, time_offset=-0.02))
+        assert abs(float(vs.filter.td) - (-0.02)) < 0.01
+        assert ate_rmse(outs.p[m], data["gt_p"][m]) < 0.05
+
+    def test_vision_dropout_robustness(self):
+        def mutate(d):
+            d["fvalid"][150:190] = False
+            d["ids"][150:190] = -1
+            d["mean_motion"][150:190] = 1.0
+
+        vs, outs, data, m = run(
+            SimConfig(duration=15.0, pixel_noise=0.002), mutate=mutate
+        )
+        assert np.all(np.isfinite(outs.p))
+        assert ate_rmse(outs.p[m], data["gt_p"][m]) < 0.15
+
+    def test_imu_gap_robustness(self):
+        def mutate(d):
+            d["imu_valid"][200:203] = False
+
+        vs, outs, data, m = run(
+            SimConfig(duration=15.0, pixel_noise=0.002), mutate=mutate
+        )
+        assert np.all(np.isfinite(np.asarray(vs.filter.P)))
+        assert ate_rmse(outs.p[m], data["gt_p"][m]) < 0.15
+
+    def test_zupt_fires_during_standstill_only(self):
+        vs, outs, data, m = run(SimConfig(duration=15.0, static_lead_in=3.0))
+        st = np.flatnonzero(outs.stationary)
+        assert len(st) > 10  # detected the standstill
+        # all stationary detections happen during the lead-in (+1 frame slack)
+        assert st.max() <= 3.2 * 20
+        # drift during standstill is frozen (position stays at origin)
+        lead = outs.p[np.asarray(outs.initialized, bool) & (data["t_img"] < 3.0)]
+        assert np.abs(lead).max() < 0.02
+
+    def test_trajectory_output_contract(self, tmp_path):
+        from larvio_tpu.data.trajectory import read_tum, write_tum
+
+        vs, outs, data, m = run(SimConfig(duration=15.0))
+        path = str(tmp_path / "traj.txt")
+        write_tum(path, np.asarray(outs.t[m]), np.asarray(outs.p[m]), np.asarray(outs.q[m]))
+        t, p, q = read_tum(path)
+        assert p.shape[1] == 3 and q.shape[1] == 4
+        np.testing.assert_allclose(p, outs.p[m], atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-4)

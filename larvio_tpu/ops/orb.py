@@ -1,0 +1,82 @@
+"""Rotation-steered binary (ORB-style) descriptors + Hamming matching.
+
+Counterpart of ref:ORBDescriptor.{h,cpp} (ORB-SLAM2-derived rBRIEF,
+SURVEY.md §2 "ORB descriptor helper"): the reference recomputes a descriptor
+at each tracked corner and kills tracks whose Hamming distance to the
+descriptor stored at track birth exceeds a threshold.
+
+TPU design: descriptors only need to be *self-consistent* (matched against
+our own descriptors, never OpenCV's), so instead of the learned ORB pattern we
+use a fixed seeded Gaussian test pattern — same statistics, no vendored
+table. The whole feature table's descriptors are computed in one vmapped
+gather batch; Hamming distance is XOR + popcount on 8 uint32 lanes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from larvio_tpu.ops.image import bilinear_sample, in_bounds
+
+PATCH = 31
+N_BITS = 256
+N_WORDS = N_BITS // 32
+
+# fixed test pattern: pairs ~ N(0, (PATCH/5)^2), clipped to the patch
+_rng = np.random.default_rng(20260816)
+_PAT = np.clip(
+    _rng.normal(0.0, PATCH / 5.0, size=(N_BITS, 4)), -(PATCH // 2 - 1), PATCH // 2 - 1
+).astype(np.float32)
+
+# circular mask offsets for the intensity-centroid orientation (radius 15)
+_r = PATCH // 2
+_yy, _xx = np.mgrid[-_r : _r + 1, -_r : _r + 1]
+_CIRC = (_xx**2 + _yy**2 <= _r**2).astype(np.float32)
+_OFFS = np.stack([_xx.ravel(), _yy.ravel()], axis=-1).astype(np.float32)
+_MASK = _CIRC.ravel()
+
+
+def _orientation(img, center):
+    pts = center[None, :] + jnp.asarray(_OFFS)
+    I = bilinear_sample(img, pts) * jnp.asarray(_MASK)
+    m10 = jnp.sum(I * jnp.asarray(_OFFS)[:, 0])
+    m01 = jnp.sum(I * jnp.asarray(_OFFS)[:, 1])
+    return jnp.arctan2(m01, m10)
+
+
+def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Descriptors for all feature slots. pos (F,2) px -> (F, 8) uint32."""
+    pat = jnp.asarray(_PAT)
+
+    def one(center, ok):
+        th = _orientation(img, center)
+        c, s = jnp.cos(th), jnp.sin(th)
+        rot = jnp.array([[c, -s], [s, c]], img.dtype)
+        a = pat[:, 0:2] @ rot.T + center[None, :]
+        b = pat[:, 2:4] @ rot.T + center[None, :]
+        Ia = bilinear_sample(img, a)
+        Ib = bilinear_sample(img, b)
+        bits = (Ia < Ib).astype(jnp.uint32)  # (256,)
+        words = bits.reshape(N_WORDS, 32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        packed = jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
+        return jnp.where(ok, packed, jnp.zeros(N_WORDS, jnp.uint32))
+
+    return jax.vmap(one)(pos, valid)
+
+
+def hamming(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """Per-row Hamming distance between (..., 8) uint32 descriptors."""
+    x = jnp.bitwise_xor(d1, d2)
+    return jnp.sum(jnp.bitwise_count(x).astype(jnp.int32), axis=-1)
+
+
+def descriptor_check(img, pos, valid, stored_desc, threshold: int):
+    """Recompute descriptors at tracked positions; gate against stored ones."""
+    H, W = img.shape
+    ok_margin = in_bounds(pos, (H, W), margin=_r + 2)
+    d = describe(img, pos, valid & ok_margin)
+    dist = hamming(d, stored_desc)
+    return (dist <= threshold) & ok_margin, dist

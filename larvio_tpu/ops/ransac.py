@@ -1,0 +1,83 @@
+"""Vectorized two-point translation RANSAC with known (gyro) rotation.
+
+Counterpart of ref:ImageProcessor::twoPointRansac (SURVEY.md §3.2). With the
+frame-to-frame rotation known from gyro integration, the epipolar geometry
+has only the 2-dof translation direction left; two correspondences determine
+it (t ~ (p2 x R p1) x (p2' x R p1')).
+
+TPU design (SURVEY.md §7 layer 3): instead of sequential hypothesize-and-
+verify, a fixed batch of hypotheses is sampled, ALL are scored against ALL
+correspondences in one (hypotheses x features) matrix, and the argmax
+hypothesis's inlier mask is returned — RANSAC as a fixed-trip-count argmax.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RansacResult(NamedTuple):
+    inliers: jnp.ndarray  # (F,) bool
+    n_inliers: jnp.ndarray  # ()
+    degenerate: jnp.ndarray  # () translation too small to discriminate
+
+
+def _homog(p):
+    return jnp.concatenate([p, jnp.ones((*p.shape[:-1], 1), p.dtype)], axis=-1)
+
+
+def two_point_ransac(
+    p_prev: jnp.ndarray,  # (F, 2) normalized coords in prev frame
+    p_curr: jnp.ndarray,  # (F, 2) normalized coords in curr frame
+    R_p_c: jnp.ndarray,  # (3, 3) rotation prev cam -> curr cam (gyro)
+    valid: jnp.ndarray,  # (F,)
+    key: jnp.ndarray,  # PRNG key
+    threshold: float,  # epipolar residual gate (normalized units)
+    n_hyp: int = 64,
+) -> RansacResult:
+    F = p_prev.shape[0]
+    dtype = p_prev.dtype
+
+    r1 = jnp.einsum("ab,fb->fa", R_p_c, _homog(p_prev))  # rotated prev rays
+    r1 = r1 / r1[..., 2:3]
+    r2 = _homog(p_curr)
+
+    # epipolar normals: n_f = r2 x r1  (t must be orthogonal to every n_f)
+    n = jnp.cross(r2, r1)  # (F, 3)
+
+    # degenerate (pure rotation): residuals without translation already tiny
+    rot_resid = jnp.linalg.norm(r2[:, :2] - r1[:, :2], axis=-1)
+    med_motion = jnp.median(jnp.where(valid, rot_resid, jnp.nan))
+    degenerate = jnp.nan_to_num(med_motion, nan=0.0) < threshold
+
+    # sample hypothesis pairs among valid features (weighted choice without
+    # replacement is overkill: sample indices uniformly, mask invalid picks)
+    k1, k2 = jax.random.split(key)
+    probs = valid.astype(dtype) + 1e-6
+    probs = probs / jnp.sum(probs)
+    idx = jax.random.choice(k1, F, shape=(n_hyp, 2), p=probs)
+    na = n[idx[:, 0]]
+    nb = n[idx[:, 1]]
+    t = jnp.cross(na, nb)  # (H, 3) hypothesis translation directions
+    t_norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t = t / jnp.maximum(t_norm, 1e-12)
+    hyp_ok = (t_norm[:, 0] > 1e-9) & valid[idx[:, 0]] & valid[idx[:, 1]]
+
+    # residual: angle-ish distance |n_f . t| / |n_f x-y scale|
+    scale = jnp.linalg.norm(n[:, :3], axis=-1)
+    resid = jnp.abs(jnp.einsum("hc,fc->hf", t, n)) / jnp.maximum(scale, 1e-12)[None, :]
+    inlier_mat = (resid < threshold) & valid[None, :]
+    counts = jnp.sum(inlier_mat, axis=1) * hyp_ok
+    best = jnp.argmax(counts)
+    inliers = inlier_mat[best]
+
+    # if motion is degenerate (no translation), keep everything that fits the
+    # pure-rotation model instead (the reference's markers for this case)
+    rot_inliers = (rot_resid < threshold) & valid
+    inliers = jnp.where(degenerate, rot_inliers, inliers)
+    return RansacResult(
+        inliers=inliers, n_inliers=jnp.sum(inliers), degenerate=degenerate
+    )

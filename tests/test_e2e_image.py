@@ -1,0 +1,46 @@
+"""Image-level end-to-end test: rendered frames -> full pipeline -> ATE.
+
+The complete TPU-native equivalent of the reference's dataset loop
+(SURVEY.md §3.1): images + IMU in, trajectory out, everything jitted.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from larvio_tpu.config import VioConfig
+from larvio_tpu.data.evaluate import ate_rmse
+from larvio_tpu.data.render import render_sequence
+from larvio_tpu.data.sim import SimConfig, Simulator
+from larvio_tpu.models.propagation import ImuBatch
+from larvio_tpu.pipeline import FrameInput, init_pipeline_state, run_image_sequence
+
+
+@pytest.mark.slow
+def test_image_pipeline_end_to_end():
+    cfg = VioConfig()
+    sim = Simulator(SimConfig(duration=8.0), cfg)
+    data = sim.generate()
+    imgs = render_sequence(cfg, sim, data["t_img"])
+
+    frames = FrameInput(
+        image=jnp.asarray(imgs),
+        imu=ImuBatch(
+            t=jnp.asarray(data["imu_t"]),
+            w=jnp.asarray(data["imu_w"]),
+            a=jnp.asarray(data["imu_a"]),
+            valid=jnp.asarray(data["imu_valid"]),
+        ),
+        t=jnp.asarray(data["t_img"]),
+    )
+    ps = init_pipeline_state(cfg)
+    ps, outs = run_image_sequence(cfg, ps, frames)
+    outs = jax.tree.map(np.asarray, outs)
+
+    m = outs.initialized.astype(bool)
+    assert m.sum() > 100  # initialized early
+    assert int(outs.did_reset.sum()) == 0
+    assert outs.n_tracks[m].mean() > 80  # healthy track count
+    ate = ate_rmse(outs.p[m], data["gt_p"][m])
+    assert ate < 0.05, f"image-level ATE {ate:.3f}"

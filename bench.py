@@ -1,0 +1,107 @@
+"""Benchmark: full image-pipeline VIO throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+
+Metric: EuRoC-format frames/sec/chip through the COMPLETE pipeline (image ->
+pyramid -> detect -> gyro-predicted LK -> ORB -> RANSAC -> hybrid-MSCKF),
+whole sequence under one lax.scan on-device (BASELINE.json:2).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the anchor is
+the stated target of 10x real-time at EuRoC's 20 Hz camera rate = 200 fps per
+chip (BASELINE.json:5). vs_baseline = fps / 200, so 1.0 == target met.
+
+Accuracy is asserted as a side condition (ATE gate) so the number can't be
+bought by breaking the filter.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from larvio_tpu.config import VioConfig
+    from larvio_tpu.data.evaluate import ate_rmse
+    from larvio_tpu.data.render import Renderer
+    from larvio_tpu.data.sim import SimConfig, Simulator
+    from larvio_tpu.models.propagation import ImuBatch
+    from larvio_tpu.pipeline import FrameInput, init_pipeline_state, run_image_sequence
+
+    n_frames_target = 400  # 20 s @ 20 Hz
+    cfg = VioConfig()
+    sim = Simulator(SimConfig(duration=n_frames_target / 20.0, pixel_noise=0.0), cfg)
+    data = sim.generate()
+    T = len(data["t_img"])
+
+    # render on device (not timed)
+    rend = Renderer(cfg, np.asarray(sim.landmarks))
+    R_ci, t_ci = np.asarray(sim.R_ci), np.asarray(sim.t_ci)
+    imgs = []
+    for t in data["t_img"]:
+        p_w, R_wi = sim.pose(np.asarray(t))
+        R_cw = R_ci @ R_wi
+        p_cam = p_w + R_wi.T @ (-R_ci.T @ t_ci)
+        imgs.append(rend.render(jnp.asarray(R_cw.T, jnp.float32), jnp.asarray(p_cam, jnp.float32)))
+    images = jnp.stack(imgs)
+    jax.block_until_ready(images)
+
+    frames = FrameInput(
+        image=images,
+        imu=ImuBatch(
+            t=jnp.asarray(data["imu_t"]),
+            w=jnp.asarray(data["imu_w"]),
+            a=jnp.asarray(data["imu_a"]),
+            valid=jnp.asarray(data["imu_valid"]),
+        ),
+        t=jnp.asarray(data["t_img"]),
+    )
+
+    # compile (first run) — donated carry means a fresh state per run
+    ps = init_pipeline_state(cfg)
+    ps_out, outs = run_image_sequence(cfg, ps, frames)
+    jax.block_until_ready(outs.p)
+
+    # timed runs
+    best = np.inf
+    for _ in range(3):
+        ps = init_pipeline_state(cfg)
+        t0 = time.perf_counter()
+        ps_out, outs = run_image_sequence(cfg, ps, frames)
+        jax.block_until_ready(outs.p)
+        best = min(best, time.perf_counter() - t0)
+
+    fps = T / best
+
+    # accuracy side-gate: the fps number is void if the filter is broken
+    outs_np = jax.tree.map(np.asarray, outs)
+    m = outs_np.initialized.astype(bool)
+    ate = ate_rmse(outs_np.p[m], data["gt_p"][m])
+    assert np.isfinite(ate) and ate < 0.10, f"accuracy gate failed: ATE {ate}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "synthetic_euroc_image_pipeline_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 200.0, 3),
+                "detail": {
+                    "frames": int(T),
+                    "wall_s": round(best, 3),
+                    "ate_m": round(float(ate), 4),
+                    "realtime_factor": round(fps / 20.0, 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,7 +21,7 @@ from larvio_tpu.ops.image import scharr_gradients, sep_filter
 def shi_tomasi_response(img: jnp.ndarray, window: int = 5) -> jnp.ndarray:
     """Min-eigenvalue of the structure tensor, box-filtered over `window`."""
     gx, gy = scharr_gradients(img)
-    k = jnp.ones(window, img.dtype) / window
+    k = [1.0 / window] * window
     gxx = sep_filter(gx * gx, k)
     gyy = sep_filter(gy * gy, k)
     gxy = sep_filter(gx * gy, k)
@@ -31,11 +31,10 @@ def shi_tomasi_response(img: jnp.ndarray, window: int = 5) -> jnp.ndarray:
 
 
 def nms(resp: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
-    """Zero out non-maxima in a (2r+1)^2 neighborhood."""
+    """Zero out non-maxima in a (2r+1)^2 neighborhood (separable max pool)."""
     w = 2 * radius + 1
-    m = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (w, w), (1, 1), "SAME"
-    )
+    m = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max, (w, 1), (1, 1), "SAME")
+    m = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max, (1, w), (1, 1), "SAME")
     return jnp.where(resp >= m, resp, 0.0)
 
 

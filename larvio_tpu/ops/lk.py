@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from larvio_tpu.ops.image import bilinear_sample, in_bounds, scharr_gradients
+from larvio_tpu.ops.image import in_bounds, sample_patch, scharr_gradients
 
 
 class LKResult(NamedTuple):
@@ -50,7 +50,6 @@ def lk_track(
 ) -> LKResult:
     """Track features prev -> curr through the pyramid. All args fixed-shape."""
     dtype = pos_prev.dtype
-    offs = _patch_grid(patch, dtype)  # (K, 2)
     levels = len(prev_pyr)
     n_px = patch * patch
 
@@ -64,10 +63,9 @@ def lk_track(
 
         def per_feature(p_prev, p_flow, feat_ok):
             c_t = p_prev * scale  # template center at this level
-            pts_t = c_t[None, :] + offs  # (K, 2)
-            T = bilinear_sample(img_t, pts_t)
-            Gx = bilinear_sample(gx, pts_t)
-            Gy = bilinear_sample(gy, pts_t)
+            T = sample_patch(img_t, c_t, patch)
+            Gx = sample_patch(gx, c_t, patch)
+            Gy = sample_patch(gy, c_t, patch)
             # 2x2 normal matrix of the template (inverse compositional)
             gxx = jnp.sum(Gx * Gx)
             gxy = jnp.sum(Gx * Gy)
@@ -84,8 +82,7 @@ def lk_track(
 
             def body(_, carry):
                 d, conv = carry
-                pts_c = (c_t + d)[None, :] + offs
-                I = bilinear_sample(img_c, pts_c)
+                I = sample_patch(img_c, c_t + d, patch)
                 e = I - T
                 g = jnp.stack([jnp.sum(Gx * e), jnp.sum(Gy * e)])
                 step = inv @ g
@@ -98,8 +95,7 @@ def lk_track(
             d, _ = jax.lax.fori_loop(0, iters, body, (d0, jnp.asarray(False)))
 
             # final residual + bounds check at the tracked location
-            pts_c = (c_t + d)[None, :] + offs
-            I = bilinear_sample(img_c, pts_c)
+            I = sample_patch(img_c, c_t + d, patch)
             err = jnp.mean(jnp.abs(I - T))
             inb = in_bounds(c_t + d, (H, W), margin=1.0)
             return d / scale, t_ok & inb, err

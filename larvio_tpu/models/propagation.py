@@ -145,7 +145,7 @@ def propagate(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.
     t_target = t_target_img + fs.td
 
     def step(carry, inp):
-        (q, bg, v, ba, p, q_null, v_null, p_null, P, t_cur, w_prev, a_prev) = carry
+        (q, bg, v, ba, p, q_null, v_null, p_null, Phi_acc, Q_acc, t_cur, w_prev, a_prev) = carry
         t_s, w_s, a_s, valid_s = inp
 
         w0, a0 = w_prev - bg, a_prev - ba
@@ -178,11 +178,11 @@ def propagate(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.
         v_new = jnp.where(is_noop, v, v_new)
         p_new = jnp.where(is_noop, p, p_new)
 
-        # P <- diag(Phi, I) P diag(Phi, I)^T + diag(Qd, 0)
-        top = mm(Phi, P[:IMU_DIM, :])  # (15, D)
-        P = P.at[:IMU_DIM, :].set(top)
-        P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi.T))
-        P = P.at[:IMU_DIM, :IMU_DIM].add(Qd)
+        # accumulate the frame transition instead of touching the big P each
+        # sample: Phi_acc <- Phi Phi_acc, Q_acc <- Phi Q_acc Phi^T + Qd.
+        # One (15,D) GEMM pair applies the whole frame to P afterwards.
+        Phi_acc = mm(Phi, Phi_acc)
+        Q_acc = mm(mm(Phi, Q_acc), Phi.T) + Qd
 
         t_new = jnp.where(valid_s, jnp.maximum(t_cur, t_end), t_cur)
         # FEJ bookkeeping (ref processModel tail): linearization points track
@@ -193,7 +193,7 @@ def propagate(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.
             jnp.where(is_noop, q_null, q_null_new),
             jnp.where(is_noop, v_null, v_null_new),
             jnp.where(is_noop, p_null, p_null_new),
-            P, t_new, w_s, a_s,
+            Phi_acc, Q_acc, t_new, w_s, a_s,
         )
         return carry, None
 
@@ -205,10 +205,19 @@ def propagate(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.
     carry0 = (
         fs.q, fs.bg, fs.v, fs.ba, fs.p,
         fs.q_null, fs.v_null, fs.p_null,
-        fs.P, fs.time, w_first, a_first,
+        jnp.eye(IMU_DIM, dtype=dtype), jnp.zeros((IMU_DIM, IMU_DIM), dtype),
+        fs.time, w_first, a_first,
     )
     carry, _ = jax.lax.scan(step, carry0, (imu.t, imu.w, imu.a, imu.valid))
-    (q, bg, v, ba, p, q_null, v_null, p_null, P, t_cur, _, _) = carry
+    (q, bg, v, ba, p, q_null, v_null, p_null, Phi_acc, Q_acc, t_cur, _, _) = carry
+
+    # apply the accumulated frame transition to the full covariance once:
+    # P <- diag(Phi,I) P diag(Phi,I)^T + diag(Q,0)
+    P = fs.P
+    top = mm(Phi_acc, P[:IMU_DIM, :])
+    P = P.at[:IMU_DIM, :].set(top)
+    P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi_acc.T))
+    P = P.at[:IMU_DIM, :IMU_DIM].add(Q_acc)
 
     return fs.replace(
         q=q, bg=bg, v=v, ba=ba, p=p,

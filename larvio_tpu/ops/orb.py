@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from larvio_tpu.ops.image import bilinear_sample, in_bounds
+from larvio_tpu.ops.image import in_bounds
 
 PATCH = 31
 N_BITS = 256
@@ -30,35 +30,44 @@ _PAT = np.clip(
     _rng.normal(0.0, PATCH / 5.0, size=(N_BITS, 4)), -(PATCH // 2 - 1), PATCH // 2 - 1
 ).astype(np.float32)
 
-# circular mask offsets for the intensity-centroid orientation (radius 15)
+# circular mask grids for the intensity-centroid orientation (radius 15),
+# laid out over the (PATCH x PATCH) slab so the moments are two fused
+# elementwise reductions — no point gathers (TPU: gathers scalarize)
 _r = PATCH // 2
 _yy, _xx = np.mgrid[-_r : _r + 1, -_r : _r + 1]
 _CIRC = (_xx**2 + _yy**2 <= _r**2).astype(np.float32)
-_OFFS = np.stack([_xx.ravel(), _yy.ravel()], axis=-1).astype(np.float32)
-_MASK = _CIRC.ravel()
-
-
-def _orientation(img, center):
-    pts = center[None, :] + jnp.asarray(_OFFS)
-    I = bilinear_sample(img, pts) * jnp.asarray(_MASK)
-    m10 = jnp.sum(I * jnp.asarray(_OFFS)[:, 0])
-    m01 = jnp.sum(I * jnp.asarray(_OFFS)[:, 1])
-    return jnp.arctan2(m01, m10)
+_XGRID = (_xx * _CIRC).astype(np.float32)
+_YGRID = (_yy * _CIRC).astype(np.float32)
 
 
 def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Descriptors for all feature slots. pos (F,2) px -> (F, 8) uint32."""
+    """Descriptors for all feature slots. pos (F,2) px -> (F, 8) uint32.
+
+    One contiguous (PATCH x PATCH) dynamic slice per feature; orientation from
+    intensity-centroid moments over the slab; steered test pattern sampled
+    nearest-neighbor from the slab (matching real ORB's integer sampling).
+    """
     pat = jnp.asarray(_PAT)
+    xg = jnp.asarray(_XGRID)
+    yg = jnp.asarray(_YGRID)
+    H, W = img.shape
 
     def one(center, ok):
-        th = _orientation(img, center)
+        rx = jnp.clip(jnp.round(center[0]).astype(jnp.int32), _r, W - _r - 1)
+        ry = jnp.clip(jnp.round(center[1]).astype(jnp.int32), _r, H - _r - 1)
+        slab = jax.lax.dynamic_slice(img, (ry - _r, rx - _r), (PATCH, PATCH))
+        m10 = jnp.sum(slab * xg)
+        m01 = jnp.sum(slab * yg)
+        th = jnp.arctan2(m01, m10)
         c, s = jnp.cos(th), jnp.sin(th)
         rot = jnp.array([[c, -s], [s, c]], img.dtype)
-        a = pat[:, 0:2] @ rot.T + center[None, :]
-        b = pat[:, 2:4] @ rot.T + center[None, :]
-        Ia = bilinear_sample(img, a)
-        Ib = bilinear_sample(img, b)
-        bits = (Ia < Ib).astype(jnp.uint32)  # (256,)
+        a = pat[:, 0:2] @ rot.T  # (256, 2) slab-relative offsets
+        b = pat[:, 2:4] @ rot.T
+        pts = jnp.concatenate([a, b], axis=0)  # (512, 2)
+        ix = jnp.clip(jnp.round(pts[:, 0]).astype(jnp.int32) + _r, 0, PATCH - 1)
+        iy = jnp.clip(jnp.round(pts[:, 1]).astype(jnp.int32) + _r, 0, PATCH - 1)
+        vals = slab.reshape(-1)[iy * PATCH + ix]  # (512,) tiny-operand gather
+        bits = (vals[:N_BITS] < vals[N_BITS:]).astype(jnp.uint32)
         words = bits.reshape(N_WORDS, 32)
         shifts = jnp.arange(32, dtype=jnp.uint32)
         packed = jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)

@@ -1,0 +1,178 @@
+"""Command-line entry point, mirroring the reference's non-ROS app.
+
+Reference usage (ref:app/larvioMain.cpp, SURVEY.md §3.1):
+    larvio <config.yaml> <euroc_dir> [output]
+
+Ours:
+    python -m larvio_tpu.cli run <config.yaml|-> <euroc_dir> [--out traj.txt]
+        [--max-frames N] [--eval] [--profile DIR] [--checkpoint PATH]
+    python -m larvio_tpu.cli sim [--duration S] [--out traj.txt] [--eval]
+        (no-dataset mode: synthetic rendered sequence through the same path)
+
+The trajectory is written in the reference's TUM-style format
+``t x y z qx qy qz qw`` (compatibility contract, BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None):
+    """Host loop: one jitted pipeline step per frame (streaming mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from larvio_tpu.models.propagation import ImuBatch
+    from larvio_tpu.pipeline import FrameInput, init_pipeline_state, jit_pipeline_step
+
+    ps = init_pipeline_state(cfg)
+    traj = []
+    stats = []
+    t_start = None
+    n = 0
+    prof = None
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        prof = profile_dir
+    try:
+        for fr in frame_iter:
+            frame = FrameInput(
+                image=jnp.asarray(fr["image"]),
+                imu=ImuBatch(
+                    t=jnp.asarray(fr["imu_t"]),
+                    w=jnp.asarray(fr["imu_w"]),
+                    a=jnp.asarray(fr["imu_a"]),
+                    valid=jnp.asarray(fr["imu_valid"]),
+                ),
+                t=jnp.asarray(fr["t_img"]),
+            )
+            ps, out = jit_pipeline_step(cfg, ps, frame)
+            n += 1
+            if t_start is None:
+                jax.block_until_ready(out.p)
+                t_start = time.perf_counter()
+                n_timed0 = n
+            traj.append((out.t, out.p, out.q, out.initialized))
+            stats.append((out.n_tracks, out.n_clones, out.n_updated, out.stationary, out.did_reset))
+        jax.block_until_ready(traj[-1][1])
+    finally:
+        if prof:
+            jax.profiler.stop_trace()
+    wall = time.perf_counter() - t_start if t_start else 0.0
+    fps = (n - n_timed0) / wall if wall > 0 else 0.0
+
+    t = np.array([float(x[0]) for x in traj])
+    p = np.stack([np.asarray(x[1]) for x in traj])
+    q = np.stack([np.asarray(x[2]) for x in traj])
+    init = np.array([bool(x[3]) for x in traj])
+    stats = {
+        "tracks": np.array([int(s[0]) for s in stats]),
+        "clones": np.array([int(s[1]) for s in stats]),
+        "updated": np.array([int(s[2]) for s in stats]),
+        "zupt": np.array([bool(s[3]) for s in stats]),
+        "resets": np.array([bool(s[4]) for s in stats]),
+    }
+    if checkpoint:
+        from larvio_tpu.utils.checkpoint import save_state
+
+        save_state(checkpoint, ps)
+    return t, p, q, init, stats, fps
+
+
+def cmd_run(args):
+    from larvio_tpu.config import VioConfig, load_yaml
+    from larvio_tpu.data.euroc import EurocSequence
+    from larvio_tpu.data.trajectory import write_tum
+
+    cfg = VioConfig() if args.config == "-" else load_yaml(args.config)
+    seq = EurocSequence(args.dataset)
+    t, p, q, init, stats, fps = _run_streaming(
+        cfg,
+        seq.frames(cfg, max_frames=args.max_frames),
+        profile_dir=args.profile,
+        checkpoint=args.checkpoint,
+    )
+    m = init
+    write_tum(args.out, t[m], p[m], q[m])
+    print(f"frames={len(t)} fps={fps:.1f} tracks~{stats['tracks'][m].mean():.0f} "
+          f"zupt={int(stats['zupt'].sum())} resets={int(stats['resets'].sum())}")
+    print(f"trajectory -> {args.out}")
+    if args.eval and seq.gt is not None:
+        from larvio_tpu.data.evaluate import ate_rmse
+
+        gt = seq.ground_truth_at(t[m])
+        print(f"ATE RMSE vs ground truth: {ate_rmse(p[m], gt):.4f} m")
+    return 0
+
+
+def cmd_sim(args):
+    from larvio_tpu.config import VioConfig
+    from larvio_tpu.data.evaluate import ate_rmse
+    from larvio_tpu.data.render import Renderer
+    from larvio_tpu.data.sim import SimConfig, Simulator
+    from larvio_tpu.data.trajectory import write_tum
+
+    cfg = VioConfig()
+    sim = Simulator(SimConfig(duration=args.duration), cfg)
+    data = sim.generate()
+    rend = Renderer(cfg, np.asarray(sim.landmarks))
+    R_ci, t_ci = np.asarray(sim.R_ci), np.asarray(sim.t_ci)
+
+    def frame_iter():
+        import jax.numpy as jnp
+
+        for k, t in enumerate(data["t_img"]):
+            p_w, R_wi = sim.pose(np.asarray(t))
+            img = rend.render(
+                jnp.asarray((R_ci @ R_wi).T, jnp.float32),
+                jnp.asarray(p_w + R_wi.T @ (-R_ci.T @ t_ci), jnp.float32),
+            )
+            yield {
+                "image": img,
+                "imu_t": data["imu_t"][k],
+                "imu_w": data["imu_w"][k],
+                "imu_a": data["imu_a"][k],
+                "imu_valid": data["imu_valid"][k],
+                "t_img": data["t_img"][k],
+            }
+
+    t, p, q, init, stats, fps = _run_streaming(cfg, frame_iter(), profile_dir=args.profile)
+    write_tum(args.out, t[init], p[init], q[init])
+    print(f"frames={len(t)} fps={fps:.1f} tracks~{stats['tracks'][init].mean():.0f}")
+    if args.eval:
+        print(f"ATE RMSE: {ate_rmse(p[init], data['gt_p'][init]):.4f} m")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="larvio_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("run", help="run a EuRoC-format sequence")
+    rp.add_argument("config", help="reference-style YAML config, or '-' for defaults")
+    rp.add_argument("dataset", help="EuRoC sequence dir (containing mav0/)")
+    rp.add_argument("--out", default="trajectory.txt")
+    rp.add_argument("--max-frames", type=int, default=None)
+    rp.add_argument("--eval", action="store_true", help="ATE vs ground truth")
+    rp.add_argument("--profile", default=None, help="dump a jax profiler trace here")
+    rp.add_argument("--checkpoint", default=None, help="save final filter state")
+    rp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("sim", help="synthetic rendered sequence (no dataset needed)")
+    sp.add_argument("--duration", type=float, default=20.0)
+    sp.add_argument("--out", default="trajectory.txt")
+    sp.add_argument("--eval", action="store_true")
+    sp.add_argument("--profile", default=None)
+    sp.set_defaults(fn=cmd_sim)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,6 +111,7 @@ class FrontendConfig:
     ransac_hypotheses: int = 64  # fixed hypothesis count (vectorized RANSAC)
     orb_distance_threshold: int = 60  # Hamming gate for descriptor check
     min_distance: int = 15  # min spacing between detected corners (px)
+    use_pallas_lk: bool = True  # Pallas LK kernel on TPU (XLA path elsewhere)
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +135,7 @@ class FilterConfig:
     max_slam_features: int = 0  # hybrid SLAM features (0 = pure MSCKF)
     imu_slots_per_frame: int = 24  # padded IMU samples per camera frame
     max_update_features: int = 40  # max dead tracks per MSCKF update batch
+    max_prune_features: int = 40  # max features marginalized per prune event
     estimate_extrinsic: bool = True
     estimate_td: bool = True
     td_initial: float = 0.0

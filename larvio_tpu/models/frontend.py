@@ -126,17 +126,33 @@ def track_frame(
 
     can_track = ts.valid & ts.has_prev
     guess = _predict_positions(cfg, ts.pos, can_track, R_cc)
-    lk = lk_track(
-        list(ts.prev_pyr),
-        list(pyr),
-        grad_pyr,
-        ts.pos,
-        guess,
-        can_track,
-        patch=fcfg.patch_size,
-        iters=fcfg.max_iteration,
-        precision=fcfg.track_precision,
-    )
+    from larvio_tpu.ops.lk_pallas import lk_track_pallas, pallas_available
+
+    if fcfg.use_pallas_lk and pallas_available():
+        lk = lk_track_pallas(
+            ts.prev_pyr,
+            pyr,
+            tuple(g[0] for g in grad_pyr),
+            tuple(g[1] for g in grad_pyr),
+            ts.pos,
+            guess,
+            can_track,
+            patch=fcfg.patch_size,
+            iters=fcfg.max_iteration,
+            precision=fcfg.track_precision,
+        )
+    else:
+        lk = lk_track(
+            list(ts.prev_pyr),
+            list(pyr),
+            grad_pyr,
+            ts.pos,
+            guess,
+            can_track,
+            patch=fcfg.patch_size,
+            iters=fcfg.max_iteration,
+            precision=fcfg.track_precision,
+        )
 
     # ---- ORB descriptor outlier rejection ----------------------------------
     desc_ok, _ = descriptor_check(

@@ -116,24 +116,41 @@ def _dead_track_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures):
 
 
 def _prune_blocks(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune, dead):
-    """One projected row per live feature observed by the clones being pruned."""
+    """One projected row per live feature observed by the clones being pruned.
+
+    Capped at ``max_prune_features`` by total observation count (the features
+    whose marginalized rows carry the best-constrained point estimates) — the
+    uncapped version triangulates the whole table every frame for a handful
+    of informative rows.
+    """
     C = cfg.filter.max_clones
+    K2 = cfg.filter.max_prune_features
     obs = fs.obs
     pruned_cols = jax.nn.one_hot(slot_a, C, dtype=bool) | jax.nn.one_hot(slot_b, C, dtype=bool)
-    row_mask = obs.valid & pruned_cols[None, :]  # (F, C)
+    row_mask_all = obs.valid & pruned_cols[None, :]  # (F, C)
     live = (obs.track_id >= 0) & ~dead & do_prune
     # need >= 2 involved obs for any information to survive marginalization
-    involved = jnp.sum(row_mask, axis=1)
-    use = live & (involved >= 2) & (jnp.sum(obs.valid, axis=1) >= 2)
+    involved = jnp.sum(row_mask_all, axis=1)
+    n_obs = jnp.sum(obs.valid, axis=1)
+    use = live & (involved >= 2) & (n_obs >= 2)
+
+    score = jnp.where(use, n_obs, -1)
+    _, idx = jax.lax.top_k(score, K2)
+    sel = jnp.take(use, idx)
+
+    uv_b = obs.uv[idx]
+    vel_b = obs.vel[idx]
+    tri_mask = obs.valid[idx] & sel[:, None]
+    row_b = row_mask_all[idx] & sel[:, None]
 
     cams = camera_window(fs)
-    tri = triangulate_batch(cfg, cams, fs.clones.frame, obs.uv, obs.valid & use[:, None])
+    tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, tri_mask)
 
     blocks = jax.vmap(
         lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, obs.uv, obs.vel, row_mask & use[:, None], tri.valid & use)
+    )(tri.p_w, uv_b, vel_b, row_b, tri.valid & sel)
     # after 3-column elimination of <=4 rows, row 3 holds all surviving info
-    H_rows = blocks.H[:, 3, :]  # (F, D)
+    H_rows = blocks.H[:, 3, :]  # (K2, D)
     r_rows = blocks.r[:, 3]
     return H_rows, r_rows, blocks.accept
 

@@ -1,0 +1,267 @@
+"""Pallas TPU kernel for pyramidal inverse-compositional LK tracking.
+
+The flagship custom kernel (SURVEY.md §7 hard part #3; BASELINE.json:5 calls
+for the LK front-end as fused Pallas kernels). Design:
+
+  * the whole pyramid (prev + curr + prev-gradients) lives in VMEM for the
+    kernel's lifetime (~7.7 MB at 480x752 with 3 sub-levels) — every patch
+    access is a VMEM dynamic slice, no HBM traffic per iteration;
+  * grid = one program per feature; feature positions are scalar operands in
+    SMEM driving the dynamic slices;
+  * per level, the template patch and its gradients are sliced once
+    (inverse-compositional: the 2x2 normal matrix is constant across
+    iterations), then a `while_loop` with per-feature early exit regathers
+    only the current-image patch — data-dependent trip counts are free
+    inside a kernel, unlike vmapped XLA;
+  * correctness baseline: ops/lk.py (pure XLA); equivalence enforced by
+    tests/test_lk_pallas.py on both paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from larvio_tpu.ops.lk import LKResult
+from larvio_tpu.ops.image import in_bounds
+
+# patch is PATCH x PATCH (odd); slices are (PATCH+1)^2 for bilinear
+_MAX_ERR = 25.0
+_MIN_EIG = 1e-3
+
+
+def _bilinear_from_slab(slab, fx, fy, patch):
+    i00 = slab[:patch, :patch]
+    i01 = slab[:patch, 1 : patch + 1]
+    i10 = slab[1 : patch + 1, :patch]
+    i11 = slab[1 : patch + 1, 1 : patch + 1]
+    return (
+        i00 * (1 - fx) * (1 - fy)
+        + i01 * fx * (1 - fy)
+        + i10 * (1 - fx) * fy
+        + i11 * fx * fy
+    )
+
+
+def _make_kernel(shapes, patch, iters, precision):
+    """shapes: list of (H, W_logical) per level, fine->coarse. The image refs
+    are lane-padded to a multiple of 128 columns; clamping uses the logical
+    width, loads use the padded one."""
+    levels = len(shapes)
+    S = patch + 1
+    n_px = float(patch * patch)
+
+    def pad_w(w):
+        return -(-w // 128) * 128
+
+    def kernel(pos_ref, guess_ref, valid_ref, *refs):
+        # refs layout: [prev_0..prev_L, curr_0..curr_L, gx_0.., gy_0..,
+        #               out_pos, out_valid, out_err]
+        prev = refs[0:levels]
+        curr = refs[levels : 2 * levels]
+        gxs = refs[2 * levels : 3 * levels]
+        gys = refs[3 * levels : 4 * levels]
+        out_pos = refs[4 * levels]
+        out_valid = refs[4 * levels + 1]
+        out_err = refs[4 * levels + 2]
+
+        i = pl.program_id(0)
+        px = pos_ref[i, 0]
+        py = pos_ref[i, 1]
+        feat_ok = valid_ref[i] > 0
+
+        fx0 = guess_ref[i, 0] - px
+        fy0 = guess_ref[i, 1] - py
+
+        def slab_at(ref, H, W, cx, cy):
+            # Mosaic requires aligned vector loads: dynamic offsets must be
+            # multiples of the tile (8 sublanes, 128 lanes for f32). Load an
+            # aligned (32, 256) window and rotate it into place with dynamic
+            # sublane/lane rolls; clamping uses logical sizes, loads padded.
+            r = patch // 2
+            Wp = pad_w(W)
+            Hp = max(-(-H // 8) * 8, 32)
+            cxc = jnp.clip(cx, r, W - r - 2.0)
+            cyc = jnp.clip(cy, r, H - r - 2.0)
+            x0 = jnp.floor(cxc).astype(jnp.int32) - r
+            y0 = jnp.floor(cyc).astype(jnp.int32) - r
+            ya = jnp.minimum((y0 // 8) * 8, Hp - 32)
+            ya = pl.multiple_of(ya, 8)
+            if Wp <= 256:
+                wide = ref[pl.ds(ya, 32), :]  # (32, Wp) static width
+                rolled = pltpu.roll(wide, -x0, axis=1)
+            else:
+                xa = jnp.minimum((x0 // 128) * 128, Wp - 256)
+                xa = pl.multiple_of(xa, 128)
+                wide = ref[pl.ds(ya, 32), pl.ds(xa, 256)]
+                rolled = pltpu.roll(wide, -(x0 - xa), axis=1)
+            rolled = pltpu.roll(rolled, -(y0 - ya), axis=0)
+            slab = rolled[:S, :S]
+            return slab, cxc - jnp.floor(cxc), cyc - jnp.floor(cyc)
+
+        flow_x, flow_y = fx0, fy0
+        ok = feat_ok
+        err = jnp.float32(0.0)
+
+        for lvl in range(levels - 1, -1, -1):
+            H, W = shapes[lvl]
+            scale = jnp.float32(2.0 ** (-lvl))
+            cx = px * scale
+            cy = py * scale
+
+            tslab, tfx, tfy = slab_at(prev[lvl], H, W, cx, cy)
+            T = _bilinear_from_slab(tslab, tfx, tfy, patch)
+            gxslab, _, _ = slab_at(gxs[lvl], H, W, cx, cy)
+            gyslab, _, _ = slab_at(gys[lvl], H, W, cx, cy)
+            Gx = _bilinear_from_slab(gxslab, tfx, tfy, patch)
+            Gy = _bilinear_from_slab(gyslab, tfx, tfy, patch)
+
+            gxx = jnp.sum(Gx * Gx)
+            gxy = jnp.sum(Gx * Gy)
+            gyy = jnp.sum(Gy * Gy)
+            det = gxx * gyy - gxy * gxy
+            tr = gxx + gyy
+            min_e = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / (2 * n_px)
+            inv_det = 1.0 / jnp.maximum(det, 1e-12)
+            margin = patch // 2 + 1
+            lvl_ok = (
+                (min_e > _MIN_EIG)
+                & (cx >= margin) & (cx <= W - 1 - margin)
+                & (cy >= margin) & (cy <= H - 1 - margin)
+            )
+
+            def cond(carry):
+                it, dx, dy, done = carry
+                return (it < iters) & (~done)
+
+            def body(carry):
+                it, dx, dy, done = carry
+                islab, ifx, ify = slab_at(curr[lvl], H, W, cx + dx, cy + dy)
+                I = _bilinear_from_slab(islab, ifx, ify, patch)
+                e = I - T
+                bx = jnp.sum(Gx * e)
+                by = jnp.sum(Gy * e)
+                sx = (gyy * bx - gxy * by) * inv_det
+                sy = (gxx * by - gxy * bx) * inv_det
+                dx = dx - sx
+                dy = dy - sy
+                done = (sx * sx + sy * sy) < precision * precision
+                return it + 1, dx, dy, done
+
+            d0x = flow_x * scale
+            d0y = flow_y * scale
+            _, dxf, dyf, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), d0x, d0y, ~lvl_ok)
+            )
+
+            # residual at the solution
+            islab, ifx, ify = slab_at(curr[lvl], H, W, cx + dxf, cy + dyf)
+            I = _bilinear_from_slab(islab, ifx, ify, patch)
+            lvl_err = jnp.sum(jnp.abs(I - T)) / n_px
+            inb = (
+                (cx + dxf >= 1.0) & (cx + dxf <= W - 2.0)
+                & (cy + dyf >= 1.0) & (cy + dyf <= H - 2.0)
+            )
+            new_ok = lvl_ok & inb
+            # failed level: keep the incoming flow (ops/lk.py semantics)
+            flow_x = jnp.where(new_ok, dxf / scale, flow_x)
+            flow_y = jnp.where(new_ok, dyf / scale, flow_y)
+            if lvl == 0:
+                ok = feat_ok & new_ok & (lvl_err < _MAX_ERR)
+                err = lvl_err
+
+        out_pos[i, 0] = px + flow_x
+        out_pos[i, 1] = py + flow_y
+        out_valid[i] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
+        out_err[i] = err
+
+    return kernel
+
+
+def pallas_available() -> bool:
+    """True when tracing for a TPU execution environment.
+
+    Tests pin ``jax_default_device`` to CPU (this container registers the TPU
+    backend unconditionally), so the default-device setting is the signal.
+    """
+    try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return str(getattr(dd, "platform", dd)).lower().startswith("tpu")
+    except Exception:
+        pass
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "iters", "precision"))
+def lk_track_pallas(
+    prev_pyr: tuple,
+    curr_pyr: tuple,
+    grad_pyr_x: tuple,
+    grad_pyr_y: tuple,
+    pos_prev: jnp.ndarray,
+    pos_guess: jnp.ndarray,
+    valid: jnp.ndarray,
+    patch: int = 15,
+    iters: int = 12,
+    precision: float = 0.01,
+) -> LKResult:
+    F = pos_prev.shape[0]
+    levels = len(prev_pyr)
+    shapes = tuple((int(im.shape[0]), int(im.shape[1])) for im in prev_pyr)
+    kernel = _make_kernel(shapes, patch, iters, float(precision))
+
+    def padded(imgs):
+        out = []
+        for im in imgs:
+            H, W = im.shape
+            Wp = -(-W // 128) * 128
+            Hp = max(-(-H // 8) * 8, 32)
+            if (Hp, Wp) != (H, W):
+                im = jnp.pad(im, ((0, Hp - H), (0, Wp - W)))
+            out.append(im)
+        return tuple(out)
+
+    prev_pyr = padded(prev_pyr)
+    curr_pyr = padded(curr_pyr)
+    grad_pyr_x = padded(grad_pyr_x)
+    grad_pyr_y = padded(grad_pyr_y)
+
+    img_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 * levels)
+    out_pos, out_valid, out_err = pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # guess
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # valid
+            *img_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 2), jnp.float32),
+            jax.ShapeDtypeStruct((F,), jnp.int32),
+            jax.ShapeDtypeStruct((F,), jnp.float32),
+        ),
+    )(
+        pos_prev,
+        pos_guess,
+        valid.astype(jnp.int32),
+        *prev_pyr,
+        *curr_pyr,
+        *grad_pyr_x,
+        *grad_pyr_y,
+    )
+
+    H0, W0 = shapes[0]
+    pos = out_pos
+    ok = (out_valid > 0) & in_bounds(pos, (H0, W0), margin=1.0)
+    return LKResult(pos=pos, valid=ok, err=out_err)

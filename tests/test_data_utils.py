@@ -1,0 +1,129 @@
+"""Tests for the EuRoC toolkit, native loader, checkpointing, config loading."""
+
+import os
+import textwrap
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+class TestNativeLoader:
+    def test_csv_matches_numpy(self, tmp_path, rng):
+        data = rng.normal(size=(500, 7))
+        path = tmp_path / "data.csv"
+        with open(path, "w") as f:
+            f.write("#timestamp,wx,wy,wz,ax,ay,az\n")
+            for row in data:
+                f.write(",".join(f"{x:.12g}" for x in row) + "\n")
+        from larvio_tpu.utils.native import load_csv
+
+        out = load_csv(str(path), 7)
+        np.testing.assert_allclose(out, data, rtol=1e-10)
+
+    def test_imu_ring_bucketing(self):
+        from larvio_tpu.utils.native import ImuRing
+
+        ring = ImuRing(256)
+        for i in range(100):
+            t = i * 0.005
+            ring.push(t, np.full(3, i, float), np.full(3, -i, float))
+        t, w, a, v = ring.bucket(t_prev=0.10, t_img=0.15, slots=24)
+        # one seed sample at/before t_prev, samples through t_img + margin
+        assert v.sum() >= 11
+        assert t[0] <= 0.10 + 1e-9
+        idx = int(v.sum()) - 1
+        assert t[idx] <= 0.15 + 0.04 + 1e-6
+        np.testing.assert_allclose(w[0], np.full(3, round(t[0] / 0.005)), atol=1e-6)
+
+
+class TestEurocReader:
+    @pytest.fixture
+    def fake_euroc(self, tmp_path, rng):
+        """Minimal EuRoC-format tree with tiny images."""
+        import cv2
+
+        mav = tmp_path / "mav0"
+        (mav / "cam0" / "data").mkdir(parents=True)
+        (mav / "imu0").mkdir(parents=True)
+        t0 = 1403636579763555584
+        stamps = [t0 + int(i * 50e6) for i in range(10)]
+        with open(mav / "cam0" / "data.csv", "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for s in stamps:
+                f.write(f"{s},{s}.png\n")
+                img = (rng.uniform(0, 255, (48, 64))).astype(np.uint8)
+                cv2.imwrite(str(mav / "cam0" / "data" / f"{s}.png"), img)
+        with open(mav / "imu0" / "data.csv", "w") as f:
+            f.write("#timestamp [ns],wx,wy,wz,ax,ay,az\n")
+            t = t0 - int(50e6)
+            while t < stamps[-1] + int(100e6):
+                f.write(f"{t},0.01,-0.02,0.005,0.1,-0.05,9.8\n")
+                t += int(5e6)
+        return tmp_path
+
+    def test_frames(self, fake_euroc):
+        from larvio_tpu.config import VioConfig, CameraConfig
+
+        cfg = VioConfig(camera=CameraConfig(width=64, height=48))
+        from larvio_tpu.data.euroc import EurocSequence
+
+        seq = EurocSequence(str(fake_euroc))
+        frames = list(seq.frames(cfg))
+        assert len(frames) == 10
+        f0 = frames[0]
+        assert f0["image"].shape == (48, 64)
+        assert f0["imu_valid"].sum() >= 10
+        # monotone timestamps, imu covers the frame
+        assert frames[1]["t_img"] > frames[0]["t_img"]
+        valid_t = f0["imu_t"][f0["imu_valid"]]
+        assert valid_t.max() >= f0["t_img"]
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from larvio_tpu.config import VioConfig
+        from larvio_tpu.models.msckf import init_vio_state
+        from larvio_tpu.utils.checkpoint import restore_state, save_state
+
+        cfg = VioConfig()
+        vs = init_vio_state(cfg)
+        vs = vs.replace(filter=vs.filter.replace(p=jnp.asarray([1.0, 2.0, 3.0])))
+        path = str(tmp_path / "state.npz")
+        save_state(path, vs)
+        vs2 = restore_state(path, init_vio_state(cfg))
+        np.testing.assert_allclose(np.asarray(vs2.filter.p), [1.0, 2.0, 3.0])
+        assert jnp.all(vs2.filter.P == vs.filter.P)
+
+
+class TestConfigYaml:
+    def test_reference_style_yaml(self, tmp_path):
+        yml = textwrap.dedent(
+            """
+            %YAML:1.0
+            cam0_resolution: [752, 480]
+            cam0_intrinsics: [458.654, 457.296, 367.215, 248.375]
+            cam0_distortion_model: radial-tangential
+            cam0_distortion_coeffs: [-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05]
+            grid_row: 5
+            grid_col: 6
+            max_cam_state_size: 18
+            estimate_extrin: 1
+            estimate_td: 1
+            td: 0.003
+            gyro_noise: 0.004
+            acc_noise: 0.06
+            zupt_max_feature_dis: 0.002
+            """
+        )
+        path = tmp_path / "euroc.yaml"
+        path.write_text(yml)
+        from larvio_tpu.config import load_yaml
+
+        cfg = load_yaml(str(path))
+        assert cfg.camera.width == 752 and cfg.camera.height == 480
+        assert cfg.frontend.grid_rows == 5 and cfg.frontend.grid_cols == 6
+        assert cfg.filter.max_clones == 18
+        assert cfg.filter.estimate_extrinsic is True
+        assert abs(cfg.filter.td_initial - 0.003) < 1e-9
+        assert abs(cfg.noise.gyro_noise - 0.004) < 1e-9

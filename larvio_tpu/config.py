@@ -132,7 +132,9 @@ class FilterConfig:
     """
 
     max_clones: int = 20
-    max_slam_features: int = 0  # hybrid SLAM features (0 = pure MSCKF)
+    max_slam_features: int = 12  # hybrid SLAM features (0 = pure MSCKF)
+    slam_promote_obs: int = 16  # window length that triggers promotion
+    slam_max_init_sigma: float = 0.6  # promote only if init depth-sigma below this (m)
     imu_slots_per_frame: int = 24  # padded IMU samples per camera frame
     max_update_features: int = 40  # max dead tracks per MSCKF update batch
     max_prune_features: int = 40  # max features marginalized per prune event

@@ -67,6 +67,10 @@ def householder_eliminate(A: jnp.ndarray, B: jnp.ndarray, r: jnp.ndarray, ncols:
         jnp.where(row_keep[:, None], B2, 0.0),
         jnp.where(row_keep, r2, 0.0),
         row_keep,
+        # the eliminated range-space rows: r_top = B_top dx + A_top df + n.
+        # These carry the feature-conditional information and enable exact
+        # delayed initialization of in-state features (models/slam.py).
+        (A2[:ncols, :], B2[:ncols, :], r2[:ncols]),
     )
 
 

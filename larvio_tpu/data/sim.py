@@ -41,6 +41,7 @@ class SimConfig:
     gyro_bias: tuple = (0.0, 0.0, 0.0)
     acc_bias: tuple = (0.0, 0.0, 0.0)
     time_offset: float = 0.0  # true td: image at t was taken at state time t+td
+    landmark_z: tuple = (6.0, 18.0)  # ceiling height range (closer -> slam promotes)
     seed: int = 0
     fov_margin: float = 0.8  # normalized-plane half-extent for visibility
     min_depth: float = 0.3
@@ -64,7 +65,7 @@ class Simulator:
         # stay in view across the whole run
         x = self.rng.uniform(-25.0, 25.0, c.n_landmarks)
         y = self.rng.uniform(-25.0, 25.0, c.n_landmarks)
-        z = self.rng.uniform(6.0, 18.0, c.n_landmarks)
+        z = self.rng.uniform(c.landmark_z[0], c.landmark_z[1], c.n_landmarks)
         self.landmarks = np.stack([x, y, z], axis=-1)
         R = np.array(vio_cfg.camera.R_cam_imu).reshape(3, 3)
         u, _, vt = np.linalg.svd(R)

@@ -95,16 +95,21 @@ def add_observations(
     feat_uv: jnp.ndarray,  # (F, 2) undistorted normalized coords
     feat_vel: jnp.ndarray,  # (F, 2) image-plane velocity
     feat_valid: jnp.ndarray,  # (F,) bool
+    slam_owned=None,  # (F,) rows owned by in-state slam features: no window
 ) -> FilterState:
     """Record this frame's measurements into the slot-aligned obs table.
 
     Front-end feature slot i owns obs row i. If the row's track id differs
     from the incoming id (slot recycled for a new track), the history is
     cleared first — the device-side equivalent of MapServer insert/erase.
+    Rows owned by slam features do not accumulate a window (their
+    measurements are consumed per-frame by the slam EKF update instead).
     """
     obs = fs.obs
     C = cfg.filter.max_clones
     write = feat_valid & (slot >= 0)
+    if slam_owned is not None:
+        write = write & ~slam_owned
 
     same_track = obs.track_id == feat_id
     keep_history = same_track & write | (~write & (obs.track_id >= 0))

@@ -30,6 +30,7 @@ from flax import struct
 
 from larvio_tpu.config import VioConfig
 from larvio_tpu.models import prune as prune_mod
+from larvio_tpu.models import slam as slam_mod
 from larvio_tpu.models.augmentation import add_observations, augment_state
 from larvio_tpu.models.initializer import InitAccumulator, accumulate, try_static_init
 from larvio_tpu.models.propagation import ImuBatch, propagate
@@ -72,6 +73,7 @@ class StepOutput(NamedTuple):
     n_clones: jnp.ndarray
     n_tracks: jnp.ndarray
     n_updated: jnp.ndarray  # features accepted into the MSCKF update
+    n_slam: jnp.ndarray  # in-state slam features
     did_reset: jnp.ndarray
 
 
@@ -113,6 +115,47 @@ def _dead_track_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures):
 
     # all dead rows (even unprocessed overflow beyond K with <2 obs) retire now
     return blocks, dead, idx
+
+
+def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
+    """MSCKF blocks consuming promotion candidates' observation windows.
+
+    Selects up to ``max_slam_features`` candidate rows (by window length),
+    returns their nullspace-projected blocks plus the mask of rows actually
+    consumed (these retire this frame and the same set is promoted).
+    """
+    from larvio_tpu.models.update import FeatureBlock
+
+    C = cfg.filter.max_clones
+    S = cfg.filter.max_slam_features
+    D = state_dim(cfg)
+    obs = fs.obs
+    if S == 0:
+        z = jnp.zeros((0, 2 * C, D), fs.P.dtype)
+        empty = FeatureBlock(
+            H=z, r=jnp.zeros((0, 2 * C), fs.P.dtype), accept=jnp.zeros((0,), bool),
+            Rf=jnp.zeros((0, 3, 3), fs.P.dtype), H3=jnp.zeros((0, 3, D), fs.P.dtype),
+            r3=jnp.zeros((0, 3), fs.P.dtype),
+        )
+        return empty, jnp.zeros_like(cand), None, None, None
+    n_obs = jnp.sum(obs.valid, axis=1)
+    score = jnp.where(cand, n_obs, -1)
+    _, idx = jax.lax.top_k(score, S)
+    sel = jnp.take(cand, idx)
+
+    uv_b = obs.uv[idx]
+    vel_b = obs.vel[idx]
+    mask_b = obs.valid[idx] & sel[:, None]
+
+    cams = camera_window(fs)
+    tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, mask_b)
+    blocks = jax.vmap(
+        lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
+    )(tri.p_w, uv_b, vel_b, mask_b, tri.valid & sel)
+
+    sel = sel & blocks.accept  # only promoted if the block actually updated
+    consumed = jnp.zeros_like(cand).at[jnp.clip(idx, 0, cand.shape[0] - 1)].set(sel)
+    return blocks, consumed, idx, tri, sel
 
 
 def _prune_blocks(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune, dead):
@@ -160,6 +203,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     fs0 = vs.filter
     dtype = fs0.P.dtype
     C = cfg.filter.max_clones
+    S = cfg.filter.max_slam_features
 
     # ---- 1. initialization path (masked) --------------------------------
     acc = accumulate(vs.init_acc, imu)
@@ -177,56 +221,91 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     n_tracked = jnp.sum(feats.valid)
     stationary = detect_stationary(cfg, feats.mean_motion, n_tracked, fs, imu) & inited
 
-    # ---- 4. dead-track MSCKF blocks ----------------------------------------
+    # ---- 4. dead-track + prune blocks -> one update, THEN remove clones -----
+    # (reference order: the marginalizing update must see the pruned clones'
+    # covariance rows before remove_clones zeroes them)
     dead_blocks, dead_rows, _ = _dead_track_blocks(cfg, fs, feats)
-
-    # ---- 5. pruning selection + blocks -------------------------------------
     n_clones = jnp.sum(fs.clones.valid)
     do_prune = (n_clones >= C) & inited
     slot_a, slot_b = prune_mod.select_redundant(cfg, fs)
     prune_H, prune_r, prune_accept = _prune_blocks(cfg, fs, slot_a, slot_b, do_prune, dead_rows)
 
-    # ---- 6. one stacked compressed update -----------------------------------
     K = cfg.filter.max_update_features
-    F = cfg.frontend.max_features
     D = state_dim(cfg)
-    H_stack = jnp.concatenate(
-        [dead_blocks.H.reshape(K * 2 * C, D), prune_H], axis=0
-    )
+    H_stack = jnp.concatenate([dead_blocks.H.reshape(K * 2 * C, D), prune_H], axis=0)
     r_stack = jnp.concatenate([dead_blocks.r.reshape(K * 2 * C), prune_r], axis=0)
     n_accepted = jnp.sum(dead_blocks.accept) + jnp.sum(prune_accept)
     # note: vision updates stay ON during detected standstill — chi2 gating
     # makes them harmless when truly stationary, and they are the correcting
     # information when the stationarity detector false-positives at slow speed
     do_update = inited & (n_accepted > 0)
-    fs = apply_update(
+    fs, _ = apply_update(
         cfg, fs, H_stack, r_stack, cfg.noise.observation_noise**2, enable=do_update
     )
 
-    # ---- 7. ZUPT update -----------------------------------------------------
-    fs = zupt_update(cfg, fs, stationary)
-
-    # ---- 8. retire consumed rows + pruned clones ----------------------------
+    # retire dead rows, clear pruned clone slots
     obs = fs.obs
-    clear = dead_rows  # every dead row retires whether or not it made the batch
     obs = obs.replace(
-        valid=obs.valid & ~clear[:, None],
-        track_id=jnp.where(clear, -1, obs.track_id),
+        valid=obs.valid & ~dead_rows[:, None],
+        track_id=jnp.where(dead_rows, -1, obs.track_id),
     )
     fs = fs.replace(obs=obs)
     fs = prune_mod.remove_clones(cfg, fs, slot_a, slot_b, do_prune)
 
-    # ---- 9. augmentation + observation insertion ----------------------------
+    # ---- 5. augmentation + observation insertion ----------------------------
     # Cloning continues through standstill (the reference augments every
     # frame): ZUPT then constrains consecutive clones, keeping the velocity
     # variance bounded while vision updates are suspended. The redundancy
     # pruning heuristic recycles the resulting near-duplicate clones.
+    owned = slam_mod.slam_owned_rows(cfg, fs)
     do_augment = inited & (jnp.sum(fs.clones.valid) < C)
     # body rate at clone time: last valid IMU sample, bias-corrected
     last = jnp.argmax(jnp.where(imu.valid, imu.t, -jnp.inf))
     w_body = imu.w[last] - fs.bg
     fs, slot = augment_state(cfg, fs, do_augment, w_body)
-    fs = add_observations(cfg, fs, slot, feats.ids, feats.uv, feats.vel, feats.valid)
+    fs = add_observations(
+        cfg, fs, slot, feats.ids, feats.uv, feats.vel, feats.valid, slam_owned=owned
+    )
+
+    # ---- 6. hybrid update: slam rows + promotion-consumption blocks ---------
+    newest = jnp.argmax(jnp.where(fs.clones.valid, fs.clones.frame, -1))
+    slam_H, slam_r, slam_accept, slam_hard_fail = slam_mod.slam_measurement_blocks(
+        cfg, fs, feats, newest
+    )
+    # promotion candidates: still-alive full-window tracks; their windows are
+    # consumed by MSCKF-style blocks in this same update, then cleared
+    n_obs_now = jnp.sum(fs.obs.valid, axis=1)
+    still_tracked = feats.valid & (feats.ids == fs.obs.track_id)
+    promote_cand = (
+        still_tracked
+        & ~owned
+        & (fs.obs.track_id >= 0)
+        & (n_obs_now >= cfg.filter.slam_promote_obs)
+        & inited
+    ) if S > 0 else jnp.zeros_like(dead_rows)
+    consume_blocks, consumed_rows, consume_idx, consume_tri, consumed_sel = _consume_blocks(
+        cfg, fs, promote_cand
+    )
+    if S > 0:
+        H_b = jnp.concatenate([slam_H, consume_blocks.H.reshape(-1, D)], axis=0)
+        r_b = jnp.concatenate([slam_r, consume_blocks.r.reshape(-1)], axis=0)
+        n_acc_b = jnp.sum(slam_accept) + jnp.sum(consume_blocks.accept)
+        fs, dx = apply_update(
+            cfg, fs, H_b, r_b, cfg.noise.observation_noise**2,
+            enable=inited & (n_acc_b > 0),
+        )
+        # ---- 7. slam lifecycle: promote consumed candidates, drop lost ------
+        fs = slam_mod.promote_features(
+            cfg, fs, consume_blocks, consume_tri, consume_idx, consumed_sel, dx
+        )
+        fs = slam_mod.drop_lost(cfg, fs, feats, slam_hard_fail)
+        # consumed windows retire
+        fs = fs.replace(
+            obs=fs.obs.replace(valid=fs.obs.valid & ~consumed_rows[:, None])
+        )
+
+    # ---- 8. ZUPT update -----------------------------------------------------
+    fs = zupt_update(cfg, fs, stationary)
 
     # ---- 10. online reset (ref:onlineReset, SURVEY.md §5) -------------------
     pos_var = jnp.diagonal(fs.P)[12:15]
@@ -238,6 +317,11 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     fs = fs.replace(
         P=jnp.where(do_reset, P_reset, fs.P),
         clones=fs.clones.replace(valid=fs.clones.valid & ~do_reset),
+        slam=fs.slam.replace(
+            valid=fs.slam.valid & ~do_reset,
+            track_id=jnp.where(do_reset, -1, fs.slam.track_id),
+            track_slot=jnp.where(do_reset, -1, fs.slam.track_slot),
+        ),
         obs=fs.obs.replace(
             valid=fs.obs.valid & ~do_reset,
             track_id=jnp.where(do_reset, -1, fs.obs.track_id),
@@ -261,6 +345,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         n_clones=jnp.sum(fs.clones.valid),
         n_tracks=n_tracked,
         n_updated=jnp.where(do_update, n_accepted, 0),
+        n_slam=jnp.sum(fs.slam.valid),
         did_reset=do_reset,
     )
     return VioState(filter=fs, init_acc=acc), out

@@ -43,11 +43,20 @@ from larvio_tpu.models.state import (
 
 
 class FeatureBlock(NamedTuple):
-    """One feature's nullspace-projected measurement block."""
+    """One feature's nullspace-projected measurement block.
+
+    ``Rf/H3/r3`` are the three eliminated range-space rows
+    (r3 = H3 dx + Rf df + n): discarded for plain MSCKF updates, used for
+    exact delayed initialization when the feature is promoted into the state
+    (models/slam.py).
+    """
 
     H: jnp.ndarray  # (2C, D) projected Jacobian (rows 0..2 zeroed)
     r: jnp.ndarray  # (2C,) projected residual
     accept: jnp.ndarray  # () bool — triangulation + gating verdict
+    Rf: jnp.ndarray  # (3, 3) feature-column factor of the eliminated rows
+    H3: jnp.ndarray  # (3, D)
+    r3: jnp.ndarray  # (3,)
 
 
 def _project_jacobian(cfg: VioConfig, fs: FilterState, p_w: jnp.ndarray,
@@ -142,7 +151,7 @@ def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, vel, row_mask, tri_v
     row_perm = (2 * order[:, None] + jnp.arange(2)[None, :]).reshape(-1)
     H_x, H_f, r = H_x[row_perm], H_f[row_perm], r[row_perm]
 
-    H_o, r_o, _ = householder_eliminate(H_f, H_x, r, 3)
+    H_o, r_o, _, (Rf, H3, r3) = householder_eliminate(H_f, H_x, r, 3)
 
     # chi-square gate (ref:gatingTest): gamma = r^T (H P H^T + s2 I)^-1 r
     S = mm(H_o, mm(fs.P, H_o.T)) + sigma2 * jnp.eye(2 * C, dtype=fs.P.dtype)
@@ -154,15 +163,16 @@ def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, vel, row_mask, tri_v
     accept = tri_valid & gate_ok & (n_obs >= 2)
     H_o = jnp.where(accept, H_o, 0.0)
     r_o = jnp.where(accept, r_o, 0.0)
-    return FeatureBlock(H=H_o, r=r_o, accept=accept)
+    return FeatureBlock(H=H_o, r=r_o, accept=accept, Rf=Rf[:, :3], H3=H3, r3=r3)
 
 
 def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray,
-                 noise_var, enable=None) -> FilterState:
+                 noise_var, enable=None):
     """Compressed EKF update + error injection into the nominal state.
 
     H: (N, D) stacked (zero rows = padding), r: (N,). ``enable`` (scalar bool)
     turns the whole update into a no-op while keeping one compiled trace.
+    Returns (new_state, dx) — dx feeds delayed feature initialization.
     """
     D = state_dim(cfg)
     # whiten per-row noise so QR row-mixing keeps R = I (required: compression
@@ -174,15 +184,23 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
     # QR compression to D rows (ref: Givens/QR measurement compression)
     H_c, r_c = qr_compress(Hw, rw)
     dx, P_new = joseph_update(fs.P, H_c, r_c, 1.0)
+    # NaN containment (SURVEY.md §5 failure detection): a numerically broken
+    # update must not poison the state — reject it wholesale and let the
+    # online-reset guard decide if the filter needs reinitialization. Also
+    # keeps one diverged vmap lane from corrupting a fleet batch.
+    finite = jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(P_new))
+    dx = jnp.where(finite, dx, 0.0)
+    P_new = jnp.where(finite, P_new, fs.P)
     if enable is not None:
         dx = jnp.where(enable, dx, 0.0)
         P_new = jnp.where(enable, P_new, fs.P)
-    return inject_error(cfg, fs, dx).replace(P=P_new)
+    return inject_error(cfg, fs, dx).replace(P=P_new), dx
 
 
 def inject_error(cfg: VioConfig, fs: FilterState, dx: jnp.ndarray) -> FilterState:
-    """Apply an error-state correction to the nominal state (masked clones)."""
+    """Apply an error-state correction to the nominal state (masked slots)."""
     C = cfg.filter.max_clones
+    S = cfg.filter.max_slam_features
     q = quat_multiply(small_angle_quat(dx[0:3]), fs.q)
     bg = fs.bg + dx[3:6]
     v = fs.v + dx[6:9]
@@ -199,4 +217,14 @@ def inject_error(cfg: VioConfig, fs: FilterState, dx: jnp.ndarray) -> FilterStat
         q=jax.vmap(lambda d, qq: quat_multiply(small_angle_quat(d), qq))(dtheta_c, fs.clones.q),
         p=fs.clones.p + dp_c,
     )
-    return fs.replace(q=q, bg=bg, v=v, ba=ba, p=p, q_ci=q_ci, t_ci=t_ci, td=td, clones=clones)
+    slam = fs.slam
+    if S > 0:
+        base = CLONE_BASE + C * CLONE_DIM
+        dslam = dx[base : base + S * 3].reshape(S, 3)
+        slam = slam.replace(
+            p_w=slam.p_w + jnp.where(slam.valid[:, None], dslam, 0.0)
+        )
+    return fs.replace(
+        q=q, bg=bg, v=v, ba=ba, p=p, q_ci=q_ci, t_ci=t_ci, td=td,
+        clones=clones, slam=slam,
+    )

@@ -101,4 +101,5 @@ def zupt_update(cfg: VioConfig, fs: FilterState, stationary: jnp.ndarray) -> Fil
             jnp.full(3, fcfg.zupt_noise_p**2, dtype),
         ]
     )
-    return apply_update(cfg, fs, H, r, noise, enable=enable)
+    fs_new, _ = apply_update(cfg, fs, H, r, noise, enable=enable)
+    return fs_new

@@ -30,9 +30,9 @@ class TestHouseholderNullspace:
         r = rng.normal(size=m).astype(np.float32)
         r[n_valid:] = 0.0
 
-        Bp, rp, keep = jax.jit(householder_eliminate, static_argnums=3)(
-            jnp.asarray(A), jnp.asarray(B), jnp.asarray(r), 3
-        )
+        Bp, rp, keep, (A_top, B_top, r_top) = jax.jit(
+            householder_eliminate, static_argnums=3
+        )(jnp.asarray(A), jnp.asarray(B), jnp.asarray(r), 3)
         Bp, rp = np.asarray(Bp), np.asarray(rp)
 
         # 1) information equivalence: B'^T B' == dense nullspace projection
@@ -45,6 +45,12 @@ class TestHouseholderNullspace:
         np.testing.assert_allclose(Bp.T @ rp, ref_H.T @ ref_r, atol=1e-3)
         # 2) padding rows contributed nothing and eliminated rows are zeroed
         assert np.all(Bp[:3] == 0.0)
+        # 3) the eliminated range rows reproduce the full information:
+        #    [A_top|B_top] is the R-factor part; A_top upper-triangular
+        A_top = np.asarray(A_top)
+        assert abs(A_top[1, 0]) < 1e-4 and abs(A_top[2, 0]) < 1e-4 and abs(A_top[2, 1]) < 1e-4
+        full_info = np.asarray(B_top).T @ np.asarray(B_top) + Bp.T @ Bp
+        np.testing.assert_allclose(full_info, B[:n_valid].T @ B[:n_valid], atol=2e-3)
 
     def test_zero_rows_untouched(self, rng):
         # a feature with only 2 valid obs (4 rows) -> all info eliminated
@@ -54,7 +60,7 @@ class TestHouseholderNullspace:
         A[:4] = rng.normal(size=(4, 3))
         B[:4] = rng.normal(size=(4, 5))
         r[:4] = rng.normal(size=4)
-        Bp, rp, _ = householder_eliminate(jnp.asarray(A), jnp.asarray(B), jnp.asarray(r), 3)
+        Bp, rp, _, _ = householder_eliminate(jnp.asarray(A), jnp.asarray(B), jnp.asarray(r), 3)
         # rows 4+ were zero and must remain exactly zero
         np.testing.assert_array_equal(np.asarray(Bp)[4:], 0.0)
         np.testing.assert_array_equal(np.asarray(rp)[4:], 0.0)

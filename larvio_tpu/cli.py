@@ -22,8 +22,13 @@ import time
 import numpy as np
 
 
-def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None):
-    """Host loop: one jitted pipeline step per frame (streaming mode)."""
+def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None, init_mode="auto"):
+    """Host loop: one jitted pipeline step per frame (streaming mode).
+
+    init_mode: "static" keeps only the on-device static initializer;
+    "auto"/"dynamic" additionally run the host-side FlexibleInitializer
+    (VINS-style SfM + alignment) and inject its result for in-motion starts.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -31,6 +36,11 @@ def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None):
     from larvio_tpu.pipeline import FrameInput, init_pipeline_state, jit_pipeline_step
 
     ps = init_pipeline_state(cfg)
+    flex = None
+    if init_mode in ("auto", "dynamic"):
+        from larvio_tpu.init import FlexibleInitializer
+
+        flex = FlexibleInitializer(cfg, window=15, min_parallax=0.12)
     traj = []
     stats = []
     t_start = None
@@ -53,6 +63,24 @@ def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None):
             )
             ps, out = jit_pipeline_step(cfg, ps, frame)
             n += 1
+            if flex is not None and not bool(out.initialized):
+                # feed the host initializer from the tracker's current table
+                tr = ps.tracker
+                flex.push(
+                    fr["t_img"], np.asarray(tr.ids), np.asarray(tr.uv_norm),
+                    np.asarray(tr.valid), fr["imu_t"], fr["imu_w"], fr["imu_a"],
+                    fr["imu_valid"],
+                )
+                res = flex.try_init()
+                if res is not None and res.mode == "dynamic":
+                    from larvio_tpu.init.flexible import inject_init_result
+
+                    ps = ps.replace(vio=inject_init_result(cfg, ps.vio, res))
+                    print(f"dynamic initialization at t={res.time:.2f}s "
+                          f"(|v|={np.linalg.norm(res.v):.2f} m/s)")
+                    flex = None
+            elif flex is not None:
+                flex = None  # on-device static init won the race
             if t_start is None:
                 jax.block_until_ready(out.p)
                 t_start = time.perf_counter()
@@ -96,6 +124,7 @@ def cmd_run(args):
         seq.frames(cfg, max_frames=args.max_frames),
         profile_dir=args.profile,
         checkpoint=args.checkpoint,
+        init_mode=args.init,
     )
     m = init
     write_tum(args.out, t[m], p[m], q[m])
@@ -161,6 +190,8 @@ def main(argv=None):
     rp.add_argument("--eval", action="store_true", help="ATE vs ground truth")
     rp.add_argument("--profile", default=None, help="dump a jax profiler trace here")
     rp.add_argument("--checkpoint", default=None, help="save final filter state")
+    rp.add_argument("--init", default="auto", choices=["auto", "static", "dynamic"],
+                    help="initialization: on-device static only, or host dynamic too")
     rp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("sim", help="synthetic rendered sequence (no dataset needed)")

@@ -146,6 +146,8 @@ class FilterConfig:
     tri_translation_threshold: float = 0.2  # checkMotion baseline gate (m)
     tri_max_depth: float = 60.0
     tri_min_depth: float = 0.2
+    tri_max_reproj_err: float = 0.05  # steady-state bound; widens automatically
+    # while velocity uncertainty is high (see msckf._tri_err_bound)
     # gating
     chi2_confidence: float = 0.95
     huber_epsilon: float = 0.01
@@ -171,6 +173,12 @@ class FilterConfig:
     # initialization
     static_init_samples: int = 200  # IMU samples for static initialization
     static_init_accel_var: float = 0.25  # stationarity gate on |a| variance
+    # bootstrap: while velocity uncertainty is above this, consume the longest
+    # live tracks every frame (marginalizing MSCKF updates without waiting for
+    # track death or a full window) — the correction channel right after a
+    # rough dynamic initialization or an online reset
+    bootstrap_vel_var: float = 9e-2  # (0.3 m/s)^2
+    bootstrap_min_obs: int = 5
     # numerics
     use_fej: bool = True
 

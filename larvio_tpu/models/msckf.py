@@ -81,6 +81,18 @@ def init_vio_state(cfg: VioConfig, dtype=jnp.float32) -> VioState:
     return VioState(filter=init_filter_state(cfg, dtype), init_acc=InitAccumulator.zero(dtype))
 
 
+def _tri_err_bound(cfg: VioConfig, fs: FilterState):
+    """Adaptive triangulation-residual acceptance bound.
+
+    Tight in steady state; loose while the filter's own velocity uncertainty
+    is large (post-dynamic-init / post-reset), where window inconsistency —
+    not feature quality — dominates the residual and the chi2 gate is the
+    right judge.
+    """
+    high_unc = jnp.max(jnp.diagonal(fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
+    return jnp.where(high_unc, 0.3, cfg.filter.tri_max_reproj_err)
+
+
 def _dead_track_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures):
     """MSCKF blocks for tracks that died this frame (ref:removeLostFeatures)."""
     F = cfg.frontend.max_features
@@ -108,10 +120,11 @@ def _dead_track_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures):
 
     cams = camera_window(fs)
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, mask_b)
+    tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
 
     blocks = jax.vmap(
         lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, uv_b, vel_b, mask_b, tri.valid & sel_valid)
+    )(tri.p_w, uv_b, vel_b, mask_b, tri_ok & sel_valid)
 
     # all dead rows (even unprocessed overflow beyond K with <2 obs) retire now
     return blocks, dead, idx
@@ -149,9 +162,10 @@ def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
 
     cams = camera_window(fs)
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, mask_b)
+    tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
     blocks = jax.vmap(
         lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, uv_b, vel_b, mask_b, tri.valid & sel)
+    )(tri.p_w, uv_b, vel_b, mask_b, tri_ok & sel)
 
     sel = sel & blocks.accept  # only promoted if the block actually updated
     consumed = jnp.zeros_like(cand).at[jnp.clip(idx, 0, cand.shape[0] - 1)].set(sel)
@@ -188,10 +202,11 @@ def _prune_blocks(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune, dea
 
     cams = camera_window(fs)
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, tri_mask)
+    tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
 
     blocks = jax.vmap(
         lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, uv_b, vel_b, row_b, tri.valid & sel)
+    )(tri.p_w, uv_b, vel_b, row_b, tri_ok & sel)
     # after 3-column elimination of <=4 rows, row 3 holds all surviving info
     H_rows = blocks.H[:, 3, :]  # (K2, D)
     r_rows = blocks.r[:, 3]
@@ -273,14 +288,22 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         cfg, fs, feats, newest
     )
     # promotion candidates: still-alive full-window tracks; their windows are
-    # consumed by MSCKF-style blocks in this same update, then cleared
+    # consumed by MSCKF-style blocks in this same update, then cleared.
+    # Bootstrap mode: while velocity uncertainty is high (right after a rough
+    # dynamic init or an online reset), also consume the longest live tracks
+    # every frame — the only correction channel before tracks die or the
+    # window fills, and the difference between recovering and diverging.
     n_obs_now = jnp.sum(fs.obs.valid, axis=1)
     still_tracked = feats.valid & (feats.ids == fs.obs.track_id)
+    bootstrap = jnp.max(jnp.diagonal(fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
+    promote_thresh = jnp.where(
+        bootstrap, cfg.filter.bootstrap_min_obs, cfg.filter.slam_promote_obs
+    )
     promote_cand = (
         still_tracked
         & ~owned
         & (fs.obs.track_id >= 0)
-        & (n_obs_now >= cfg.filter.slam_promote_obs)
+        & (n_obs_now >= promote_thresh)
         & inited
     ) if S > 0 else jnp.zeros_like(dead_rows)
     consume_blocks, consumed_rows, consume_idx, consume_tri, consumed_sel = _consume_blocks(

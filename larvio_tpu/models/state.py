@@ -190,19 +190,28 @@ def init_filter_state(cfg: VioConfig, dtype=jnp.float32) -> FilterState:
     )
 
 
-def initial_covariance(cfg: VioConfig, dtype=jnp.float32) -> jnp.ndarray:
+def initial_covariance(cfg: VioConfig, dtype=jnp.float32, mode: str = "static") -> jnp.ndarray:
     """Diagonal prior covariance after initialization (ref: LarVio ctor values).
 
     Roll/pitch are observable from gravity (small sigma); yaw is unobservable
-    (larger); biases and velocity get the reference-style loose priors.
+    (larger); biases and velocity get the reference-style loose priors. The
+    ``dynamic`` mode reflects the rougher in-motion bootstrap (SfM tilt and
+    scale errors of a few degrees / tens of percent).
     """
     D = state_dim(cfg)
     diag = jnp.zeros(D, dtype)
-    diag = diag.at[IDX_THETA : IDX_THETA + 2].set(3.0e-2**2)  # roll/pitch
-    diag = diag.at[IDX_THETA + 2].set(1.0e-1**2)  # yaw
-    diag = diag.at[IDX_BG : IDX_BG + 3].set(3.0e-2**2)
-    diag = diag.at[IDX_V : IDX_V + 3].set(1.0e-1**2)
-    diag = diag.at[IDX_BA : IDX_BA + 3].set(1.0e-1**2)
+    if mode == "dynamic":
+        diag = diag.at[IDX_THETA : IDX_THETA + 2].set(1.2e-1**2)  # roll/pitch
+        diag = diag.at[IDX_THETA + 2].set(2.0e-1**2)  # yaw
+        diag = diag.at[IDX_BG : IDX_BG + 3].set(2.0e-2**2)
+        diag = diag.at[IDX_V : IDX_V + 3].set(5.0e-1**2)
+        diag = diag.at[IDX_BA : IDX_BA + 3].set(1.5e-1**2)
+    else:
+        diag = diag.at[IDX_THETA : IDX_THETA + 2].set(3.0e-2**2)  # roll/pitch
+        diag = diag.at[IDX_THETA + 2].set(1.0e-1**2)  # yaw
+        diag = diag.at[IDX_BG : IDX_BG + 3].set(3.0e-2**2)
+        diag = diag.at[IDX_V : IDX_V + 3].set(1.0e-1**2)
+        diag = diag.at[IDX_BA : IDX_BA + 3].set(1.0e-1**2)
     diag = diag.at[IDX_P : IDX_P + 3].set(1.0e-6)
     if cfg.filter.estimate_extrinsic:
         diag = diag.at[IDX_EXT_THETA : IDX_EXT_THETA + 3].set(3.5e-3**2)

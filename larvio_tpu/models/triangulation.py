@@ -45,8 +45,9 @@ def camera_window(fs, use_null: bool = False) -> CameraWindow:
 
 class TriangulationResult(NamedTuple):
     p_w: jnp.ndarray  # (3,) world position
-    valid: jnp.ndarray  # () bool: motion check + convergence + depth gates
+    valid: jnp.ndarray  # () bool: motion + depth gates (err gate is the caller's)
     anchor: jnp.ndarray  # () int32 anchor clone slot
+    mean_err: jnp.ndarray  # () mean reprojection residual (normalized units)
 
 
 def _earliest_latest(obs_valid, clone_frame):
@@ -130,6 +131,11 @@ def triangulate_feature(
         A = JtJ + lam * jnp.diag(jnp.diag(JtJ)) + 1e-9 * jnp.eye(3, dtype=x.dtype)
         dx = -jnp.linalg.solve(A, Jtr)
         x_new = x + dx
+        # stay on the physical branch: the depth-free cost has a mirror
+        # optimum at negative inverse depth that "fits" inconsistent windows
+        x_new = x_new.at[2].set(
+            jnp.clip(x_new[2], 1.0 / fcfg.tri_max_depth, 1.0 / fcfg.tri_min_depth)
+        )
         r_new, _ = residuals_jac(x_new)
         cost_new = jnp.sum(r_new * r_new)
         accept = cost_new < cost
@@ -150,11 +156,15 @@ def triangulate_feature(
     p_anchor = jnp.array([x[0], x[1], 1.0], x.dtype) * depth
     p_w = R_a.T @ p_anchor + p_a
 
-    # mean reprojection error gate (normalized units)
+    # The reprojection-error acceptance bound is the CALLER's decision: a
+    # tight bound is right in steady state, but right after a rough dynamic
+    # initialization (or an online reset) the pose window itself is wrong and
+    # large residuals are exactly the information the filter needs — so the
+    # bound must scale with the filter's own uncertainty (see msckf.py).
     mean_err = jnp.sqrt(cost / jnp.maximum(n_obs.astype(x.dtype), 1.0))
     depth_ok = (depth > fcfg.tri_min_depth) & (depth < fcfg.tri_max_depth)
-    valid = motion_ok & depth_ok & (n_obs >= 2) & (mean_err < 0.05)
-    return TriangulationResult(p_w=p_w, valid=valid, anchor=anchor)
+    valid = motion_ok & depth_ok & (n_obs >= 2)
+    return TriangulationResult(p_w=p_w, valid=valid, anchor=anchor, mean_err=mean_err)
 
 
 def triangulate_batch(cfg, cams, clone_frame, uv_batch, valid_batch):

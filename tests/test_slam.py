@@ -85,7 +85,10 @@ class TestHybridEndToEnd:
         from larvio_tpu.data.evaluate import ate_rmse
         from larvio_tpu.data.sim import SimConfig, Simulator
 
-        cfg = VioConfig()
+        # promotion thresholds relaxed so the machinery engages deterministically
+        cfg = VioConfig(
+            filter=FilterConfig(slam_promote_obs=12, slam_max_init_sigma=1.5)
+        )
         sc = SimConfig(
             duration=15.0, pixel_noise=0.002, landmark_z=(4.0, 8.0),
             radius=(2.5, 2.0, 0.6),

@@ -136,8 +136,8 @@ class FilterConfig:
     slam_promote_obs: int = 16  # window length that triggers promotion
     slam_max_init_sigma: float = 0.6  # promote only if init depth-sigma below this (m)
     imu_slots_per_frame: int = 24  # padded IMU samples per camera frame
-    max_update_features: int = 40  # max dead tracks per MSCKF update batch
-    max_prune_features: int = 40  # max features marginalized per prune event
+    max_update_features: int = 24  # max dead tracks per MSCKF update batch
+    max_prune_features: int = 24  # max features marginalized per prune event
     estimate_extrinsic: bool = True
     estimate_td: bool = True
     td_initial: float = 0.0
@@ -177,6 +177,10 @@ class FilterConfig:
     # live tracks every frame (marginalizing MSCKF updates without waiting for
     # track death or a full window) — the correction channel right after a
     # rough dynamic initialization or an online reset
+    # the bootstrap channel arms only while the clone window is still
+    # rebuilding (post-dynamic-init / post-reset) AND velocity uncertainty is
+    # high — normal operation always has a full window, so transient variance
+    # spikes in weakly-constrained geometries cannot trigger it
     bootstrap_vel_var: float = 9e-2  # (0.3 m/s)^2
     bootstrap_min_obs: int = 5
     # numerics

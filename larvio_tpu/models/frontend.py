@@ -35,7 +35,7 @@ from larvio_tpu.models.propagation import ImuBatch
 from larvio_tpu.ops.detect import grid_topk, nms, shi_tomasi_response
 from larvio_tpu.ops.image import build_pyramid, in_bounds
 from larvio_tpu.ops.lk import lk_track, make_grad_pyramid
-from larvio_tpu.ops.orb import describe, descriptor_check, N_WORDS
+from larvio_tpu.ops.orb import describe, N_WORDS
 from larvio_tpu.ops.ransac import two_point_ransac
 
 
@@ -154,13 +154,12 @@ def track_frame(
             precision=fcfg.track_precision,
         )
 
-    # ---- ORB descriptor outlier rejection ----------------------------------
-    desc_ok, _ = descriptor_check(
-        image, lk.pos, lk.valid, ts.desc, fcfg.orb_distance_threshold
-    )
-    tracked = lk.valid & desc_ok
-
     # ---- two-point RANSAC ---------------------------------------------------
+    # (the ORB descriptor gate runs after replenishment on the final feature
+    # table so descriptors are computed ONCE per frame; an ORB-rejected track
+    # is invalidated this frame and its slot recycles next frame — a 1-frame
+    # slot-reuse delay vs the reference, measurement content identical)
+    tracked = lk.valid
     uvn_curr = undistort_normalize(lk.pos, cfg.camera)
     key = jax.random.PRNGKey(0)
     key = jax.random.fold_in(key, (t_img * 1e4).astype(jnp.int32))
@@ -234,9 +233,20 @@ def track_frame(
     age = jnp.where(is_new, 0, jnp.where(tracked, ts.age + 1, 0))
     valid = tracked | is_new
 
-    # descriptors: stored at birth, kept for life
-    new_desc = describe(image, pos, is_new)
-    desc = jnp.where(is_new[:, None], new_desc, ts.desc)
+    # single descriptor pass over the final table: ORB gate for survivors
+    # (Hamming vs the descriptor stored at track birth), birth descriptors
+    # for the newly detected
+    from larvio_tpu.ops.orb import hamming
+    from larvio_tpu.ops.image import in_bounds as _inb
+
+    desc_now = describe(image, pos, valid)
+    margin_ok = _inb(pos, (H, W), margin=17.0)
+    dist = hamming(desc_now, ts.desc)
+    desc_ok = (dist <= fcfg.orb_distance_threshold) & margin_ok
+    tracked = tracked & (desc_ok | is_new)
+    valid = tracked | is_new
+    ids = jnp.where(valid, ids, -1)
+    desc = jnp.where(is_new[:, None], desc_now, ts.desc)
 
     # ---- measurement assembly -------------------------------------------------
     uvn = undistort_normalize(pos, cfg.camera)

@@ -81,16 +81,23 @@ def init_vio_state(cfg: VioConfig, dtype=jnp.float32) -> VioState:
     return VioState(filter=init_filter_state(cfg, dtype), init_acc=InitAccumulator.zero(dtype))
 
 
+def _bootstrap_mode(cfg: VioConfig, fs: FilterState):
+    """True only while the filter is converging from a rough start: the clone
+    window is still rebuilding (it is always full in steady state) AND velocity
+    uncertainty is high."""
+    window_building = jnp.sum(fs.clones.valid) < cfg.filter.max_clones - 2
+    high_unc = jnp.max(jnp.diagonal(fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
+    return window_building & high_unc
+
+
 def _tri_err_bound(cfg: VioConfig, fs: FilterState):
     """Adaptive triangulation-residual acceptance bound.
 
-    Tight in steady state; loose while the filter's own velocity uncertainty
-    is large (post-dynamic-init / post-reset), where window inconsistency —
-    not feature quality — dominates the residual and the chi2 gate is the
+    Tight in steady state; loose in bootstrap mode, where window inconsistency
+    — not feature quality — dominates the residual and the chi2 gate is the
     right judge.
     """
-    high_unc = jnp.max(jnp.diagonal(fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
-    return jnp.where(high_unc, 0.3, cfg.filter.tri_max_reproj_err)
+    return jnp.where(_bootstrap_mode(cfg, fs), 0.3, cfg.filter.tri_max_reproj_err)
 
 
 def _dead_track_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures):
@@ -295,7 +302,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # window fills, and the difference between recovering and diverging.
     n_obs_now = jnp.sum(fs.obs.valid, axis=1)
     still_tracked = feats.valid & (feats.ids == fs.obs.track_id)
-    bootstrap = jnp.max(jnp.diagonal(fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
+    bootstrap = _bootstrap_mode(cfg, fs)
     promote_thresh = jnp.where(
         bootstrap, cfg.filter.bootstrap_min_obs, cfg.filter.slam_promote_obs
     )

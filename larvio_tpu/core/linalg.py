@@ -74,6 +74,34 @@ def householder_eliminate(A: jnp.ndarray, B: jnp.ndarray, r: jnp.ndarray, ncols:
     )
 
 
+def solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 solve via the adjugate (batched over leading axes).
+
+    jnp.linalg.solve on (…,3,3) lowers to a batched LU *custom call* on TPU —
+    ~19 us of fixed overhead per call inside every GN iteration. The adjugate
+    form is pure fused VPU elementwise work.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c01 * b1 + c02 * b2) * inv_det
+    x1 = (c10 * b0 + c11 * b1 + c12 * b2) * inv_det
+    x2 = (c20 * b0 + c21 * b1 + c22 * b2) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def qr_compress(H: jnp.ndarray, r: jnp.ndarray, mode: str = "qr"):
     """Compress a tall stacked (whitened) measurement system to state dim.
 

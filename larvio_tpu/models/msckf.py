@@ -100,41 +100,65 @@ def _tri_err_bound(cfg: VioConfig, fs: FilterState):
     return jnp.where(_bootstrap_mode(cfg, fs), 0.3, cfg.filter.tri_max_reproj_err)
 
 
-def _dead_track_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures):
-    """MSCKF blocks for tracks that died this frame (ref:removeLostFeatures)."""
-    F = cfg.frontend.max_features
+def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures,
+                            slot_a, slot_b, do_prune):
+    """Dead-track (ref:removeLostFeatures) + prune-observation blocks, built
+    as ONE triangulation scan and ONE feature_block vmap over K + K2 features
+    (three separate small batches cost ~3x the sequential-scan latency).
+
+    Returns (H_stack, r_stack, n_accepted, dead_rows).
+    """
     C = cfg.filter.max_clones
     K = cfg.filter.max_update_features
-
+    K2 = cfg.filter.max_prune_features
+    D = state_dim(cfg)
     obs = fs.obs
-    # dead: row owned by a track that is no longer tracked in the same slot
+
+    # --- dead selection: row owned by a no-longer-tracked track --------------
     still_tracked = feats.valid & (feats.ids == obs.track_id)
     has_row = obs.track_id >= 0
     n_obs = jnp.sum(obs.valid, axis=1)
-    # every no-longer-tracked row is dead (and will be cleared); rows with a
-    # single observation carry no triangulable information and are simply
-    # dropped by the accept gate downstream
     dead = has_row & ~still_tracked
+    score_d = jnp.where(dead, n_obs, -1)
+    _, idx_d = jax.lax.top_k(score_d, K)
+    sel_d = jnp.take(dead, idx_d)
 
-    # top-K dead rows by observation count
-    score = jnp.where(dead, n_obs, -1)
-    _, idx = jax.lax.top_k(score, K)
-    sel_valid = jnp.take(dead, idx)
+    # --- prune selection: live features observed by the clones being removed -
+    pruned_cols = jax.nn.one_hot(slot_a, C, dtype=bool) | jax.nn.one_hot(slot_b, C, dtype=bool)
+    row_mask_all = obs.valid & pruned_cols[None, :]
+    involved = jnp.sum(row_mask_all, axis=1)
+    use_p = has_row & ~dead & do_prune & (involved >= 2) & (n_obs >= 2)
+    score_p = jnp.where(use_p, n_obs, -1)
+    _, idx_p = jax.lax.top_k(score_p, K2)
+    sel_p = jnp.take(use_p, idx_p)
 
-    uv_b = obs.uv[idx]  # (K, C, 2)
-    mask_b = obs.valid[idx] & sel_valid[:, None]
+    # --- one combined batch ---------------------------------------------------
+    idx = jnp.concatenate([idx_d, idx_p])
+    sel = jnp.concatenate([sel_d, sel_p])
+    uv_b = obs.uv[idx]
     vel_b = obs.vel[idx]
+    tri_mask = obs.valid[idx] & sel[:, None]
+    # dead features contribute all their rows; prune features only the
+    # removed clones' rows
+    row_b = jnp.concatenate(
+        [obs.valid[idx_d] & sel_d[:, None], row_mask_all[idx_p] & sel_p[:, None]]
+    )
 
     cams = camera_window(fs)
-    tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, mask_b)
+    tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, tri_mask)
     tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
-
     blocks = jax.vmap(
         lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, uv_b, vel_b, mask_b, tri_ok & sel_valid)
+    )(tri.p_w, uv_b, vel_b, row_b, tri_ok & sel)
 
-    # all dead rows (even unprocessed overflow beyond K with <2 obs) retire now
-    return blocks, dead, idx
+    # dead blocks keep all projected rows; prune blocks (<=4 valid rows each)
+    # keep only row 3, where the single surviving post-elimination row lives
+    H_stack = jnp.concatenate(
+        [blocks.H[:K].reshape(K * 2 * C, D), blocks.H[K:, 3, :]], axis=0
+    )
+    r_stack = jnp.concatenate([blocks.r[:K].reshape(K * 2 * C), blocks.r[K:, 3]])
+    n_accepted = jnp.sum(blocks.accept)
+    return H_stack, r_stack, n_accepted, dead
 
 
 def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
@@ -179,47 +203,6 @@ def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
     return blocks, consumed, idx, tri, sel
 
 
-def _prune_blocks(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune, dead):
-    """One projected row per live feature observed by the clones being pruned.
-
-    Capped at ``max_prune_features`` by total observation count (the features
-    whose marginalized rows carry the best-constrained point estimates) — the
-    uncapped version triangulates the whole table every frame for a handful
-    of informative rows.
-    """
-    C = cfg.filter.max_clones
-    K2 = cfg.filter.max_prune_features
-    obs = fs.obs
-    pruned_cols = jax.nn.one_hot(slot_a, C, dtype=bool) | jax.nn.one_hot(slot_b, C, dtype=bool)
-    row_mask_all = obs.valid & pruned_cols[None, :]  # (F, C)
-    live = (obs.track_id >= 0) & ~dead & do_prune
-    # need >= 2 involved obs for any information to survive marginalization
-    involved = jnp.sum(row_mask_all, axis=1)
-    n_obs = jnp.sum(obs.valid, axis=1)
-    use = live & (involved >= 2) & (n_obs >= 2)
-
-    score = jnp.where(use, n_obs, -1)
-    _, idx = jax.lax.top_k(score, K2)
-    sel = jnp.take(use, idx)
-
-    uv_b = obs.uv[idx]
-    vel_b = obs.vel[idx]
-    tri_mask = obs.valid[idx] & sel[:, None]
-    row_b = row_mask_all[idx] & sel[:, None]
-
-    cams = camera_window(fs)
-    tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, tri_mask)
-    tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
-
-    blocks = jax.vmap(
-        lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, uv_b, vel_b, row_b, tri_ok & sel)
-    # after 3-column elimination of <=4 rows, row 3 holds all surviving info
-    H_rows = blocks.H[:, 3, :]  # (K2, D)
-    r_rows = blocks.r[:, 3]
-    return H_rows, r_rows, blocks.accept
-
-
 def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatch):
     """One frame. Returns (VioState, StepOutput)."""
     fs0 = vs.filter
@@ -246,17 +229,13 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # ---- 4. dead-track + prune blocks -> one update, THEN remove clones -----
     # (reference order: the marginalizing update must see the pruned clones'
     # covariance rows before remove_clones zeroes them)
-    dead_blocks, dead_rows, _ = _dead_track_blocks(cfg, fs, feats)
     n_clones = jnp.sum(fs.clones.valid)
     do_prune = (n_clones >= C) & inited
     slot_a, slot_b = prune_mod.select_redundant(cfg, fs)
-    prune_H, prune_r, prune_accept = _prune_blocks(cfg, fs, slot_a, slot_b, do_prune, dead_rows)
-
-    K = cfg.filter.max_update_features
     D = state_dim(cfg)
-    H_stack = jnp.concatenate([dead_blocks.H.reshape(K * 2 * C, D), prune_H], axis=0)
-    r_stack = jnp.concatenate([dead_blocks.r.reshape(K * 2 * C), prune_r], axis=0)
-    n_accepted = jnp.sum(dead_blocks.accept) + jnp.sum(prune_accept)
+    H_stack, r_stack, n_accepted, dead_rows = _marginalization_blocks(
+        cfg, fs, feats, slot_a, slot_b, do_prune
+    )
     # note: vision updates stay ON during detected standstill — chi2 gating
     # makes them harmless when truly stationary, and they are the correcting
     # information when the stationarity detector false-positives at slow speed

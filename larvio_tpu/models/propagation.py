@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from larvio_tpu.config import VioConfig
 from larvio_tpu.core.linalg import mm, symmetrize
-from larvio_tpu.core.quaternion import quat_to_rotation
+from larvio_tpu.core.quaternion import quat_normalize, quat_to_rotation
 from larvio_tpu.core.so3 import skew
 from larvio_tpu.models.state import (
     FilterState,
@@ -135,12 +135,137 @@ def _phi_and_Q(cfg: VioConfig, q_old, q_new, v_old, v_new, p_old, p_new,
 
 
 def propagate(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.ndarray) -> FilterState:
-    """Propagate state + covariance through the frame's IMU batch.
+    """Propagate state + covariance through the frame's IMU batch — parallel.
 
     ``t_target_img`` is the raw image timestamp; the actual propagation target
     is ``t_target_img + td`` with the *current* td estimate (online temporal
     calibration, ref: processFeatures propagating to t_img + td).
+
+    TPU design: the reference's per-sample sequential loop is latency-bound on
+    TPU (24 tiny steps). Since the biases are constant within a frame, the
+    quaternion RK4 step is LINEAR in q (q_i = M_i q_{i-1} with M_i a 4x4
+    function of the interval's gyro samples only), so the whole chain
+    parallelizes: per-slot M_i / Phi_i / Qd_i are built in one batch and the
+    ordered products come from ``associative_scan`` (depth log2(S) instead of
+    S). Velocity/position use Simpson / trapezoid on the recovered attitude
+    chain — identical to the sequential RK4 to O(dt^3) per 5 ms step
+    (validated against finite differences and the e2e ATE gates).
     """
+    return _propagate_parallel(cfg, fs, imu, t_target_img)
+
+
+def _propagate_parallel(cfg, fs, imu, t_target_img):
+    from larvio_tpu.core.quaternion import _omega
+
+    dtype = fs.P.dtype
+    t_target = t_target_img + fs.td
+    S = imu.t.shape[0]
+    g_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
+
+    # --- per-slot intervals (parallel) ---------------------------------------
+    t_end = jnp.minimum(imu.t, t_target)
+    ends = jnp.where(imu.valid, t_end, -jnp.inf)
+    run_max = jax.lax.associative_scan(jnp.maximum, ends)  # inclusive cummax
+    start = jnp.maximum(
+        fs.time, jnp.concatenate([jnp.full((1,), -jnp.inf, dtype), run_max[:-1]])
+    )
+    dt = jnp.maximum(t_end - start, 0.0) * imu.valid.astype(dtype)
+
+    w_prev = jnp.concatenate([imu.w[:1], imu.w[:-1]], axis=0)
+    a_prev = jnp.concatenate([imu.a[:1], imu.a[:-1]], axis=0)
+    t_prev = jnp.concatenate([jnp.full((1,), -jnp.inf, dtype), imu.t[:-1]])
+    w0 = w_prev - fs.bg
+    a0 = a_prev - fs.ba
+    w1f = imu.w - fs.bg
+    a1f = imu.a - fs.ba
+    frac = jnp.clip(
+        (t_end - start) / jnp.maximum(imu.t - start, 1e-9), 0.0, 1.0
+    )[:, None]
+    w1 = w0 + frac * (w1f - w0)
+    a1 = a0 + frac * (a1f - a0)
+    wm = 0.5 * (w0 + w1)
+    am = 0.5 * (a0 + a1)
+
+    # --- quaternion chain: q_i = M_i q_{i-1}, M from linear RK4 ---------------
+    eye4 = jnp.eye(4, dtype=dtype)
+    A0 = 0.5 * _omega(w0)  # (S, 4, 4)
+    Am = 0.5 * _omega(wm)
+    A1 = 0.5 * _omega(w1)
+    dte = dt[:, None, None]
+    K1 = A0
+    K2 = mm(Am, eye4 + 0.5 * dte * K1)
+    K3 = mm(Am, eye4 + 0.5 * dte * K2)
+    K4 = mm(A1, eye4 + dte * K3)
+    M = eye4 + (dte / 6.0) * (K1 + 2 * K2 + 2 * K3 + K4)
+    M = jnp.where((dt <= 0.0)[:, None, None], eye4, M)
+    # ordered cumulative products P_i = M_i ... M_1
+    Pq = jax.lax.associative_scan(lambda a, b: mm(b, a), M)
+    q_chain = jnp.einsum("sij,j->si", Pq, fs.q)
+    q_chain = q_chain / jnp.linalg.norm(q_chain, axis=-1, keepdims=True)
+    q_prev_chain = jnp.concatenate([fs.q[None], q_chain[:-1]], axis=0)
+    q_mid = q_prev_chain + q_chain
+    q_mid = q_mid / jnp.linalg.norm(q_mid, axis=-1, keepdims=True)
+
+    # --- velocity / position (Simpson / trapezoid on the attitude chain) -----
+    R_prev = quat_to_rotation(q_prev_chain)  # (S,3,3) world->IMU
+    R_mid = quat_to_rotation(q_mid)
+    R_new = quat_to_rotation(q_chain)
+    acc_w = (
+        jnp.einsum("sji,sj->si", R_prev, a0)
+        + 4.0 * jnp.einsum("sji,sj->si", R_mid, am)
+        + jnp.einsum("sji,sj->si", R_new, a1)
+    ) / 6.0 + g_w[None, :]
+    dv = dt[:, None] * acc_w
+    v_chain = fs.v + jnp.cumsum(dv, axis=0)
+    v_prev_chain = jnp.concatenate([fs.v[None], v_chain[:-1]], axis=0)
+    dp = dt[:, None] * 0.5 * (v_prev_chain + v_chain)
+    p_chain = fs.p + jnp.cumsum(dp, axis=0)
+    p_prev_chain = jnp.concatenate([fs.p[None], p_chain[:-1]], axis=0)
+
+    # --- per-slot Phi / Qd (parallel), FEJ nulls lag the estimates ------------
+    q_null_chain = jnp.concatenate([fs.q_null[None], q_chain[:-1]], axis=0)
+    v_null_chain = jnp.concatenate([fs.v_null[None], v_chain[:-1]], axis=0)
+    p_null_chain = jnp.concatenate([fs.p_null[None], p_chain[:-1]], axis=0)
+    w_hat = 0.5 * (w0 + w1)
+    a_hat = 0.5 * (a0 + a1)
+    Phi_s, Qd_s = jax.vmap(
+        lambda qo, qn, vo, vn, po, pn, qnl, vnl, pnl, wh, ah, d: _phi_and_Q(
+            cfg, qo, qn, vo, vn, po, pn, qnl, vnl, pnl, wh, ah, d, dtype
+        )
+    )(q_prev_chain, q_chain, v_prev_chain, v_chain, p_prev_chain, p_chain,
+      q_null_chain, v_null_chain, p_null_chain, w_hat, a_hat, dt)
+    eye15 = jnp.eye(IMU_DIM, dtype=dtype)
+    noop = (dt <= 0.0)[:, None, None]
+    Phi_s = jnp.where(noop, eye15, Phi_s)
+    Qd_s = jnp.where(noop, jnp.zeros_like(Qd_s), Qd_s)
+
+    # suffix products S_i = Phi_S ... Phi_{i+1} via a reversed scan
+    R_suffix = jax.lax.associative_scan(
+        lambda a, b: mm(b, a), Phi_s[::-1]
+    )[::-1]  # R_suffix[i] = Phi_S ... Phi_i
+    Phi_acc = R_suffix[0]
+    S_after = jnp.concatenate([R_suffix[1:], eye15[None]], axis=0)
+    Q_acc = jnp.sum(mm(mm(S_after, Qd_s), jnp.swapaxes(S_after, -1, -2)), axis=0)
+
+    # --- apply the frame transition to the covariance once --------------------
+    P = fs.P
+    top = mm(Phi_acc, P[:IMU_DIM, :])
+    P = P.at[:IMU_DIM, :].set(top)
+    P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi_acc.T))
+    P = P.at[:IMU_DIM, :IMU_DIM].add(Q_acc)
+
+    q_new = quat_normalize(q_chain[-1])
+    return fs.replace(
+        q=q_new, v=v_chain[-1], p=p_chain[-1],
+        q_null=q_new, v_null=v_chain[-1], p_null=p_chain[-1],
+        P=symmetrize(P), time=t_target,
+    )
+
+
+def _propagate_sequential(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.ndarray) -> FilterState:
+    """Reference sequential implementation (kept as the correctness baseline
+    for tests/test_filter.py; the parallel version above is the production
+    path)."""
     dtype = fs.P.dtype
     t_target = t_target_img + fs.td
 

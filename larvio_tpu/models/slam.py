@@ -131,7 +131,14 @@ def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot)
     # chi2 gate (2 dof) per feature
     Hf2 = H.reshape(S, 2, D)
     Svar = jnp.einsum("sid,de,sje->sij", Hf2, fs.P, Hf2) + sigma2 * jnp.eye(2, dtype=dtype)
-    gamma = jnp.einsum("si,sij,sj->s", r, jnp.linalg.inv(Svar), r)
+    # closed-form 2x2 inverse (batched LU custom-calls are pure overhead here)
+    det = Svar[:, 0, 0] * Svar[:, 1, 1] - Svar[:, 0, 1] * Svar[:, 1, 0]
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    gamma = (
+        Svar[:, 1, 1] * r[:, 0] ** 2
+        - (Svar[:, 0, 1] + Svar[:, 1, 0]) * r[:, 0] * r[:, 1]
+        + Svar[:, 0, 0] * r[:, 1] ** 2
+    ) / det
     # an indefinite innovation covariance (gamma < 0 or non-finite) means the
     # feature's covariance block has gone numerically bad: hard-fail it
     bad = ~jnp.isfinite(gamma) | (gamma < 0.0)

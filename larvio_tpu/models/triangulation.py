@@ -129,7 +129,9 @@ def triangulate_feature(
         JtJ = jnp.einsum("nij,nik->jk", J, J)
         Jtr = jnp.einsum("nij,ni->j", J, r)
         A = JtJ + lam * jnp.diag(jnp.diag(JtJ)) + 1e-9 * jnp.eye(3, dtype=x.dtype)
-        dx = -jnp.linalg.solve(A, Jtr)
+        from larvio_tpu.core.linalg import solve3
+
+        dx = -solve3(A, Jtr)
         x_new = x + dx
         # stay on the physical branch: the depth-free cost has a mirror
         # optimum at negative inverse depth that "fits" inconsistent windows

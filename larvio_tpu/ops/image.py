@@ -42,8 +42,17 @@ def sep_filter(img: jnp.ndarray, k) -> jnp.ndarray:
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
-    """Blur + 2x decimation (cv::pyrDown semantics, ceil sizes)."""
-    return sep_filter(img, _K5)[::2, ::2]
+    """Blur + 2x decimation (cv::pyrDown semantics, ceil sizes).
+
+    Decimation via pad-to-even + reshape: strided indexing of the fused blur
+    output lowers to an expensive gather on TPU, reshape does not.
+    """
+    x = sep_filter(img, _K5)
+    H, W = x.shape
+    He, We = -(-H // 2) * 2, -(-W // 2) * 2
+    if (He, We) != (H, W):
+        x = jnp.pad(x, ((0, He - H), (0, We - W)))
+    return x.reshape(He // 2, 2, We // 2, 2)[:, 0, :, 0]
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:

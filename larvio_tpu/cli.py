@@ -128,6 +128,18 @@ def cmd_run(args):
     )
     m = init
     write_tum(args.out, t[m], p[m], q[m])
+    if args.metrics:
+        # structured per-frame observability (SURVEY.md §5: the reference only
+        # prints to stdout; we persist the estimator's health counters)
+        with open(args.metrics, "w") as f:
+            f.write("t,initialized,tracks,clones,updated,zupt,reset\n")
+            for i in range(len(t)):
+                f.write(
+                    f"{t[i]:.6f},{int(init[i])},{stats['tracks'][i]},"
+                    f"{stats['clones'][i]},{stats['updated'][i]},"
+                    f"{int(stats['zupt'][i])},{int(stats['resets'][i])}\n"
+                )
+        print(f"metrics -> {args.metrics}")
     print(f"frames={len(t)} fps={fps:.1f} tracks~{stats['tracks'][m].mean():.0f} "
           f"zupt={int(stats['zupt'].sum())} resets={int(stats['resets'].sum())}")
     print(f"trajectory -> {args.out}")
@@ -192,6 +204,8 @@ def main(argv=None):
     rp.add_argument("--checkpoint", default=None, help="save final filter state")
     rp.add_argument("--init", default="auto", choices=["auto", "static", "dynamic"],
                     help="initialization: on-device static only, or host dynamic too")
+    rp.add_argument("--metrics", default=None,
+                    help="write per-frame metrics CSV (tracks, clones, updates, zupt, resets)")
     rp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("sim", help="synthetic rendered sequence (no dataset needed)")

@@ -142,7 +142,7 @@ class FilterConfig:
     estimate_td: bool = True
     td_initial: float = 0.0
     # triangulation
-    tri_max_iterations: int = 10
+    tri_max_iterations: int = 6
     tri_translation_threshold: float = 0.2  # checkMotion baseline gate (m)
     tri_max_depth: float = 60.0
     tri_min_depth: float = 0.2

@@ -197,8 +197,57 @@ def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "iters", "precision"))
 def lk_track_pallas(
+    prev_pyr: tuple,
+    curr_pyr: tuple,
+    grad_pyr_x: tuple,
+    grad_pyr_y: tuple,
+    pos_prev: jnp.ndarray,
+    pos_guess: jnp.ndarray,
+    valid: jnp.ndarray,
+    patch: int = 15,
+    iters: int = 12,
+    precision: float = 0.01,
+) -> LKResult:
+    """vmap-compatible wrapper: fleet batching maps to per-instance kernel
+    launches (lax.map) — pallas_call's auto-batching rule cannot handle the
+    SMEM operands, and instances have distinct pyramids anyway."""
+    out = _lk_pallas_vmappable(
+        patch, iters, float(precision),
+        prev_pyr, curr_pyr, grad_pyr_x, grad_pyr_y, pos_prev, pos_guess, valid,
+    )
+    return LKResult(*out)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vmappable(patch, iters, precision):
+    @jax.custom_batching.custom_vmap
+    def fn(prev_pyr, curr_pyr, gx, gy, pos_prev, pos_guess, valid):
+        r = _lk_track_pallas_impl(
+            prev_pyr, curr_pyr, gx, gy, pos_prev, pos_guess, valid,
+            patch=patch, iters=iters, precision=precision,
+        )
+        return (r.pos, r.valid, r.err)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        # move every batched leaf to a leading axis, broadcast the rest
+        def prep(leaf, b):
+            return leaf if b else jnp.broadcast_to(leaf[None], (axis_size, *leaf.shape))
+
+        args_b = jax.tree.map(prep, list(args), in_batched)
+        out = jax.lax.map(lambda a: fn(*a), tuple(args_b))
+        return out, (True, True, True)
+
+    return fn
+
+
+def _lk_pallas_vmappable(patch, iters, precision, *args):
+    return _make_vmappable(patch, iters, precision)(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "iters", "precision"))
+def _lk_track_pallas_impl(
     prev_pyr: tuple,
     curr_pyr: tuple,
     grad_pyr_x: tuple,

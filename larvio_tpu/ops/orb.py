@@ -52,6 +52,8 @@ def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndar
     yg = jnp.asarray(_YGRID)
     H, W = img.shape
 
+    P32 = 32  # slab padded to the f32 sublane tile
+
     def one(center, ok):
         rx = jnp.clip(jnp.round(center[0]).astype(jnp.int32), _r, W - _r - 1)
         ry = jnp.clip(jnp.round(center[1]).astype(jnp.int32), _r, H - _r - 1)
@@ -66,7 +68,17 @@ def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndar
         pts = jnp.concatenate([a, b], axis=0)  # (512, 2)
         ix = jnp.clip(jnp.round(pts[:, 0]).astype(jnp.int32) + _r, 0, PATCH - 1)
         iy = jnp.clip(jnp.round(pts[:, 1]).astype(jnp.int32) + _r, 0, PATCH - 1)
-        vals = slab.reshape(-1)[iy * PATCH + ix]  # (512,) tiny-operand gather
+        # nearest-neighbor sampling as one-hot einsum: a 512-point gather
+        # scalarizes on TPU (~1 ms/frame); selecting through tiny one-hot
+        # matrices rides the MXU instead
+        slab_p = jnp.pad(slab, ((0, P32 - PATCH), (0, P32 - PATCH)))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (2 * N_BITS, P32), 1)
+        rowsel = (rows == iy[:, None]).astype(img.dtype)  # (512, 32)
+        colsel = (rows == ix[:, None]).astype(img.dtype)
+        vals = jnp.einsum(
+            "pr,rc,pc->p", rowsel, slab_p, colsel,
+            precision=jax.lax.Precision.DEFAULT,
+        )
         bits = (vals[:N_BITS] < vals[N_BITS:]).astype(jnp.uint32)
         words = bits.reshape(N_WORDS, 32)
         shifts = jnp.arange(32, dtype=jnp.uint32)

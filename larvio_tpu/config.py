@@ -150,7 +150,11 @@ class FilterConfig:
     # while velocity uncertainty is high (see msckf._tri_err_bound)
     # gating
     chi2_confidence: float = 0.95
-    huber_epsilon: float = 0.01
+    # self-scaling Huber: rows beyond huber_k x the feature's robust residual
+    # scale (floored at the observation sigma) are downweighted; 0 disables.
+    # (the reference uses a fixed huber_epsilon; the self-scaling form stays
+    # neutral during post-init transients where all residuals are large)
+    huber_k: float = 2.5
     # ZUPT (ref: CJA 2020 closed-form zero velocity update)
     enable_zupt: bool = True
     zupt_max_feature_dis: float = 2e-3  # normalized-plane mean track motion gate

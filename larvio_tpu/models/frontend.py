@@ -210,6 +210,13 @@ def track_frame(
     cand_xy_flat = cand_xy.reshape(-1, 2)
     cand_ok_flat = cand_ok.reshape(-1)
     cand_score_flat = jnp.where(cand_ok_flat, scores.reshape(-1), -1.0)
+    # pad the candidate pool to at least F so slot assignment below is
+    # shape-safe for configs where cells*k < max_features
+    n_cand = cand_xy_flat.shape[0]
+    if n_cand < F:
+        cand_xy_flat = jnp.pad(cand_xy_flat, ((0, F - n_cand), (0, 0)))
+        cand_ok_flat = jnp.pad(cand_ok_flat, (0, F - n_cand))
+        cand_score_flat = jnp.pad(cand_score_flat, (0, F - n_cand), constant_values=-1.0)
 
     # assign best candidates to free slots
     free = ~tracked

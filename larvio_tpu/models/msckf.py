@@ -74,6 +74,7 @@ class StepOutput(NamedTuple):
     n_tracks: jnp.ndarray
     n_updated: jnp.ndarray  # features accepted into the MSCKF update
     n_slam: jnp.ndarray  # in-state slam features
+    p_std: jnp.ndarray  # (3,) position 1-sigma (consistency monitoring)
     did_reset: jnp.ndarray
 
 
@@ -355,6 +356,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         n_tracks=n_tracked,
         n_updated=jnp.where(do_update, n_accepted, 0),
         n_slam=jnp.sum(fs.slam.valid),
+        p_std=jnp.sqrt(jnp.maximum(jnp.diagonal(fs.P)[12:15], 0.0)),
         did_reset=do_reset,
     )
     return VioState(filter=fs, init_acc=acc), out

@@ -164,6 +164,19 @@ def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, vel, row_mask, tri_v
 
     H_o, r_o, _, (Rf, H3, r3) = householder_eliminate(H_f, H_x, r, 3)
 
+    # robust (Huber) weighting of the projected rows (ref: huber_epsilon):
+    # scale = max(mean |r| over informative rows, observation sigma), rows
+    # beyond huber_k*scale downweighted by sqrt(w) on both H and r
+    if cfg.filter.huber_k > 0:
+        n_inf = jnp.maximum(jnp.sum(jnp.abs(r_o) > 0), 1)
+        scale = jnp.maximum(
+            jnp.sum(jnp.abs(r_o)) / n_inf, cfg.noise.observation_noise
+        )
+        w = jnp.minimum(1.0, cfg.filter.huber_k * scale / jnp.maximum(jnp.abs(r_o), 1e-12))
+        sw = jnp.sqrt(w)
+        H_o = H_o * sw[:, None]
+        r_o = r_o * sw
+
     # chi-square gate (ref:gatingTest): gamma = r^T (H P H^T + s2 I)^-1 r
     # (Cholesky: S is SPD by construction and chol+trsm is ~2x cheaper than
     # the batched LU this used to lower to)

@@ -190,6 +190,21 @@ def cmd_sim(args):
     return 0
 
 
+def cmd_export(args):
+    from larvio_tpu.config import VioConfig
+    from larvio_tpu.data.export_euroc import export_sim_euroc
+    from larvio_tpu.data.sim import SimConfig
+
+    sc = SimConfig(
+        duration=args.duration,
+        static_lead_in=0.0 if args.moving_start else 2.0,
+        seed=args.seed,
+    )
+    n = export_sim_euroc(args.out_dir, VioConfig(), sc)
+    print(f"{n} frames -> {args.out_dir} (EuRoC ASL layout)")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="larvio_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -214,6 +229,16 @@ def main(argv=None):
     sp.add_argument("--eval", action="store_true")
     sp.add_argument("--profile", default=None)
     sp.set_defaults(fn=cmd_sim)
+
+    ep = sub.add_parser(
+        "export-sim", help="write a simulated sequence as a EuRoC-format dataset"
+    )
+    ep.add_argument("out_dir")
+    ep.add_argument("--duration", type=float, default=20.0)
+    ep.add_argument("--moving-start", action="store_true",
+                    help="no static lead-in (exercises the dynamic initializer)")
+    ep.add_argument("--seed", type=int, default=0)
+    ep.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -29,6 +29,25 @@ def _homog(p):
     return jnp.concatenate([p, jnp.ones((*p.shape[:-1], 1), p.dtype)], axis=-1)
 
 
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over the masked-valid entries of a padded 1-D array.
+
+    jnp.median NaN-poisons the whole reduction if any slot holds NaN, so the
+    obvious where(valid, x, nan) + median pattern silently returns NaN on any
+    partially-valid table (ADVICE r1, high). Sort invalid slots to +inf and
+    index the middle of the valid prefix instead. Returns 0 when nothing is
+    valid.
+    """
+    big = jnp.asarray(jnp.inf, x.dtype)
+    xs = jnp.sort(jnp.where(mask, x, big))
+    n = jnp.sum(mask)
+    last = x.shape[0] - 1
+    lo = jnp.clip((n - 1) // 2, 0, last)
+    hi = jnp.clip(n // 2, 0, last)
+    med = 0.5 * (xs[lo] + xs[hi])
+    return jnp.where(n > 0, med, jnp.asarray(0.0, x.dtype))
+
+
 def two_point_ransac(
     p_prev: jnp.ndarray,  # (F, 2) normalized coords in prev frame
     p_curr: jnp.ndarray,  # (F, 2) normalized coords in curr frame
@@ -50,8 +69,8 @@ def two_point_ransac(
 
     # degenerate (pure rotation): residuals without translation already tiny
     rot_resid = jnp.linalg.norm(r2[:, :2] - r1[:, :2], axis=-1)
-    med_motion = jnp.median(jnp.where(valid, rot_resid, jnp.nan))
-    degenerate = jnp.nan_to_num(med_motion, nan=0.0) < threshold
+    med_motion = masked_median(rot_resid, valid)
+    degenerate = med_motion < threshold
 
     # sample hypothesis pairs among valid features (weighted choice without
     # replacement is overkill: sample indices uniformly, mask invalid picks)

@@ -194,3 +194,48 @@ class TestRansac:
         )
         assert bool(res.degenerate)
         assert np.asarray(res.inliers).mean() > 0.95
+
+    def test_partially_valid_mask(self, rng):
+        """Padded tables are never fully valid in production — the degenerate
+        gate must be computed from valid slots only (ADVICE r1 high: a NaN-
+        poisoned median made every frame 'degenerate', disabling RANSAC)."""
+        n, n_valid = 100, 60
+        p3 = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3))
+        from scipy.spatial.transform import Rotation as R_
+
+        R = R_.from_euler("xyz", [0.02, -0.03, 0.05]).as_matrix()
+        t = np.array([0.3, 0.1, 0.05])
+        p1 = (p3 / p3[:, 2:3])[:, :2].astype(np.float32)
+        p3c = (R @ (p3 - t).T).T
+        p2 = (p3c / p3c[:, 2:3])[:, :2].astype(np.float32)
+        valid = np.zeros(n, bool)
+        valid[:n_valid] = True
+        # garbage in the invalid (padding) slots, as in the real feature table
+        p1[~valid] = 0.0
+        p2[~valid] = 0.0
+        out_idx = rng.choice(n_valid, 12, replace=False)
+        p2[out_idx] += 0.05
+        res = two_point_ransac(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(R.astype(np.float32)),
+            jnp.asarray(valid), jax.random.PRNGKey(2), threshold=3.0 / 458.0,
+        )
+        assert not bool(res.degenerate)  # real translation, not pure rotation
+        inl = np.asarray(res.inliers)
+        assert not inl[~valid].any()  # padding never marked inlier
+        is_out = np.zeros(n, bool)
+        is_out[out_idx] = True
+        assert inl[valid & ~is_out].mean() > 0.9
+        assert inl[is_out].mean() < 0.3
+
+    def test_masked_median_matches_numpy(self, rng):
+        from larvio_tpu.ops.ransac import masked_median
+
+        for trial in range(20):
+            n = 33
+            x = rng.normal(size=n).astype(np.float32)
+            k = int(rng.integers(0, n + 1))
+            mask = np.zeros(n, bool)
+            mask[rng.choice(n, k, replace=False)] = True
+            got = float(masked_median(jnp.asarray(x), jnp.asarray(mask)))
+            want = float(np.median(x[mask])) if k else 0.0
+            assert got == pytest.approx(want, abs=1e-6), (trial, k)

@@ -134,7 +134,11 @@ class FilterConfig:
     max_clones: int = 20
     max_slam_features: int = 12  # hybrid SLAM features (0 = pure MSCKF)
     slam_promote_obs: int = 16  # window length that triggers promotion
-    slam_max_init_sigma: float = 0.6  # promote only if init depth-sigma below this (m)
+    # promote only if the initialized inverse-depth sigma is below this (1/m);
+    # the bearing gate is fixed (slam._MAX_AB_SIGMA). Inverse depth keeps this
+    # unit-correct for near AND far features (a metric depth gate starves
+    # distant landmarks whose depth variance grows quadratically)
+    slam_max_init_rho_sigma: float = 0.25
     imu_slots_per_frame: int = 24  # padded IMU samples per camera frame
     max_update_features: int = 24  # max dead tracks per MSCKF update batch
     max_prune_features: int = 24  # max features marginalized per prune event

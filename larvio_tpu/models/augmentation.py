@@ -93,7 +93,6 @@ def add_observations(
     slot: jnp.ndarray,
     feat_id: jnp.ndarray,  # (F,) int32, -1 invalid
     feat_uv: jnp.ndarray,  # (F, 2) undistorted normalized coords
-    feat_vel: jnp.ndarray,  # (F, 2) image-plane velocity
     feat_valid: jnp.ndarray,  # (F,) bool
     slam_owned=None,  # (F,) rows owned by in-state slam features: no window
 ) -> FilterState:
@@ -121,8 +120,5 @@ def add_observations(
     uv = jnp.where(write_cell[..., None], feat_uv[:, None, :], obs.uv)
     valid = valid | write_cell
     track_id = jnp.where(write, feat_id, jnp.where(keep_history, obs.track_id, -1))
-    # per-observation image-plane velocity (td sensitivity is time-local: the
-    # velocity must be the one at *that* observation's exposure)
-    vel = jnp.where(write_cell[..., None], feat_vel[:, None, :], obs.vel)
 
-    return fs.replace(obs=obs.replace(uv=uv, valid=valid, track_id=track_id, vel=vel))
+    return fs.replace(obs=obs.replace(uv=uv, valid=valid, track_id=track_id))

@@ -34,7 +34,13 @@ from larvio_tpu.models import slam as slam_mod
 from larvio_tpu.models.augmentation import add_observations, augment_state
 from larvio_tpu.models.initializer import InitAccumulator, accumulate, try_static_init
 from larvio_tpu.models.propagation import ImuBatch, propagate
-from larvio_tpu.models.state import FilterState, init_filter_state, initial_covariance, state_dim
+from larvio_tpu.models.state import (
+    IMU_DIM,
+    FilterState,
+    init_filter_state,
+    initial_covariance,
+    state_dim,
+)
 from larvio_tpu.models.triangulation import camera_window, triangulate_batch
 from larvio_tpu.models.update import apply_update, feature_block
 from larvio_tpu.models.zupt import detect_stationary, zupt_update
@@ -75,6 +81,7 @@ class StepOutput(NamedTuple):
     n_updated: jnp.ndarray  # features accepted into the MSCKF update
     n_slam: jnp.ndarray  # in-state slam features
     p_std: jnp.ndarray  # (3,) position 1-sigma (consistency monitoring)
+    v_std: jnp.ndarray  # (3,) velocity 1-sigma (observable — NEES calibration)
     did_reset: jnp.ndarray
 
 
@@ -137,7 +144,6 @@ def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeature
     idx = jnp.concatenate([idx_d, idx_p])
     sel = jnp.concatenate([sel_d, sel_p])
     uv_b = obs.uv[idx]
-    vel_b = obs.vel[idx]
     tri_mask = obs.valid[idx] & sel[:, None]
     # dead features contribute all their rows; prune features only the
     # removed clones' rows
@@ -149,8 +155,8 @@ def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeature
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, tri_mask)
     tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
     blocks = jax.vmap(
-        lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, uv_b, vel_b, row_b, tri_ok & sel)
+        lambda p_w, uv, m, tv: feature_block(cfg, fs, p_w, uv, m, tv)
+    )(tri.p_w, uv_b, row_b, tri_ok & sel)
 
     # dead blocks keep all projected rows; prune blocks (<=4 valid rows each)
     # keep only row 3, where the single surviving post-elimination row lives
@@ -189,15 +195,14 @@ def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
     sel = jnp.take(cand, idx)
 
     uv_b = obs.uv[idx]
-    vel_b = obs.vel[idx]
     mask_b = obs.valid[idx] & sel[:, None]
 
     cams = camera_window(fs)
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, mask_b)
     tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
     blocks = jax.vmap(
-        lambda p_w, uv, vel, m, tv: feature_block(cfg, fs, p_w, uv, vel, m, tv)
-    )(tri.p_w, uv_b, vel_b, mask_b, tri_ok & sel)
+        lambda p_w, uv, m, tv: feature_block(cfg, fs, p_w, uv, m, tv)
+    )(tri.p_w, uv_b, mask_b, tri_ok & sel)
 
     sel = sel & blocks.accept  # only promoted if the block actually updated
     consumed = jnp.zeros_like(cand).at[jnp.clip(idx, 0, cand.shape[0] - 1)].set(sel)
@@ -252,6 +257,9 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         track_id=jnp.where(dead_rows, -1, obs.track_id),
     )
     fs = fs.replace(obs=obs)
+    # re-anchor slam features whose anchor clone is being pruned BEFORE its
+    # covariance rows are zeroed (the transform consumes them)
+    fs = slam_mod.reanchor_on_prune(cfg, fs, slot_a, slot_b, do_prune)
     fs = prune_mod.remove_clones(cfg, fs, slot_a, slot_b, do_prune)
 
     # ---- 5. augmentation + observation insertion ----------------------------
@@ -266,7 +274,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     w_body = imu.w[last] - fs.bg
     fs, slot = augment_state(cfg, fs, do_augment, w_body)
     fs = add_observations(
-        cfg, fs, slot, feats.ids, feats.uv, feats.vel, feats.valid, slam_owned=owned
+        cfg, fs, slot, feats.ids, feats.uv, feats.valid, slam_owned=owned
     )
 
     # ---- 6. hybrid update: slam rows + promotion-consumption blocks ---------
@@ -305,8 +313,11 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             enable=inited & (n_acc_b > 0),
         )
         # ---- 7. slam lifecycle: promote consumed candidates, drop lost ------
+        # anchor at the newest clone (it survives pruning longest; re-anchoring
+        # handles the eventual prune of the anchor)
         fs = slam_mod.promote_features(
-            cfg, fs, consume_blocks, consume_tri, consume_idx, consumed_sel, dx
+            cfg, fs, consume_blocks, consume_tri, consume_idx, consumed_sel, dx,
+            anchor_slot=newest,
         )
         fs = slam_mod.drop_lost(cfg, fs, feats, slam_hard_fail)
         # consumed windows retire
@@ -318,9 +329,16 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     fs = zupt_update(cfg, fs, stationary)
 
     # ---- 10. online reset (ref:onlineReset, SURVEY.md §5) -------------------
-    pos_var = jnp.diagonal(fs.P)[12:15]
-    blown = (jnp.max(pos_var) > cfg.filter.position_std_threshold**2) | ~jnp.all(
-        jnp.isfinite(jnp.diagonal(fs.P))
+    # triggers: variance explosion, non-finite P, or COLLAPSE — a negative
+    # diagonal in the always-estimated IMU block means f32 corruption (an
+    # overconfident filter silently freezes at a wrong state; observed with
+    # tightly-modeled observation noise)
+    diagP = jnp.diagonal(fs.P)
+    pos_var = diagP[12:15]
+    blown = (
+        (jnp.max(pos_var) > cfg.filter.position_std_threshold**2)
+        | ~jnp.all(jnp.isfinite(diagP))
+        | (inited & (jnp.min(diagP[:IMU_DIM]) <= 0.0))
     )
     do_reset = blown & inited
     P_reset = initial_covariance(cfg, dtype)
@@ -331,6 +349,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             valid=fs.slam.valid & ~do_reset,
             track_id=jnp.where(do_reset, -1, fs.slam.track_id),
             track_slot=jnp.where(do_reset, -1, fs.slam.track_slot),
+            anchor_slot=jnp.where(do_reset, -1, fs.slam.anchor_slot),
         ),
         obs=fs.obs.replace(
             valid=fs.obs.valid & ~do_reset,
@@ -357,6 +376,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         n_updated=jnp.where(do_update, n_accepted, 0),
         n_slam=jnp.sum(fs.slam.valid),
         p_std=jnp.sqrt(jnp.maximum(jnp.diagonal(fs.P)[12:15], 0.0)),
+        v_std=jnp.sqrt(jnp.maximum(jnp.diagonal(fs.P)[6:9], 0.0)),
         did_reset=do_reset,
     )
     return VioState(filter=fs, init_acc=acc), out

@@ -7,18 +7,34 @@ EKF-SLAM/MSCKF estimator after Mingyang Li, SURVEY.md §0/§3.3):
   * long-surviving tracks are **promoted** into the state: their
     accumulated observation window is consumed by one MSCKF-style
     marginalized update (so no history is wasted), then the feature enters
-    the state at its triangulated position with a conservative diagonal
-    prior (delayed-initialization approximation, documented trade-off);
+    the state with an EXACT conditional initialization from the window's
+    eliminated range-space rows;
   * while tracked, a slam feature gets a cheap 2-row EKF update per frame
     against the newest clone (no window accumulation, no re-triangulation
     — this is what makes long tracks cheap in the hybrid filter);
   * on track death or persistent gating failure the feature is dropped and
     its covariance rows are zeroed (slot recycled).
 
-Feature error state: world-frame position (3), FEJ value in ``p_w_null``.
-(The reference parameterizes in anchored inverse depth; world-xyz with FEJ
-is the standard alternative and keeps the padded layout trivial — anchor
-bookkeeping would couple slam slots to clone slots.)
+Feature error state: **anchored inverse depth** [alpha, beta, rho] — the
+normalized image coordinates and inverse depth of the feature in the anchor
+clone's camera frame (the reference's parameterization, SURVEY.md §2 "State
+vector layout"):
+
+    p_w = p_A + R_A^T R_ci^T ([alpha, beta, 1]/rho - t_ci)
+
+where (q_A, p_A) is the anchor clone's IMU pose and (R_ci, t_ci) the
+camera-IMU extrinsic. Inverse depth conditions distant features gracefully
+(rho -> 0 stays finite and well-scaled where world-xyz depth variance blows
+up quadratically), which is what lets promotion engage at default thresholds.
+When the anchor clone is pruned, the feature is **re-anchored** to the newest
+surviving clone with an exact first-order covariance transform (same move as
+the reference family's anchor change), so slam features outlive the clone
+window — the whole point of the hybrid filter.
+
+FEJ: Jacobians use idp_null + the anchor/observer clones' null poses;
+residuals use current estimates. Re-anchoring restarts the feature's
+linearization point at the current estimate (standard, documented FEJ
+discontinuity).
 """
 
 from __future__ import annotations
@@ -38,9 +54,14 @@ from larvio_tpu.models.state import (
     IDX_EXT_P,
     IDX_EXT_THETA,
     SLAM_DIM,
+    clone_offset,
     slam_offset,
     state_dim,
 )
+
+# promotion gate on the init uncertainty of the bearing part (normalized
+# image units); the inverse-depth gate is configurable (slam_max_init_rho_sigma)
+_MAX_AB_SIGMA = 0.05
 
 
 def slam_owned_rows(cfg: VioConfig, fs: FilterState) -> jnp.ndarray:
@@ -50,6 +71,65 @@ def slam_owned_rows(cfg: VioConfig, fs: FilterState) -> jnp.ndarray:
     eq = fs.slam.track_id[:, None] == fs.obs.track_id[None, :]  # (S, F)
     eq = eq & fs.slam.valid[:, None] & (fs.obs.track_id >= 0)[None, :]
     return jnp.any(eq, axis=0)
+
+
+def _ray(idp):
+    """[alpha, beta, 1] homogeneous anchor-camera ray(s). idp: (..., 3)."""
+    return jnp.concatenate(
+        [idp[..., :2], jnp.ones((*idp.shape[:-1], 1), idp.dtype)], axis=-1
+    )
+
+
+def _anchor_rotations(fs: FilterState, fej: bool):
+    """(S,3,3) world->IMU rotations and (S,3) positions of each anchor."""
+    a = jnp.clip(fs.slam.anchor_slot, 0, fs.clones.q.shape[0] - 1)
+    q = (fs.clones.q_null if fej else fs.clones.q)[a]
+    p = (fs.clones.p_null if fej else fs.clones.p)[a]
+    return quat_to_rotation(q), p
+
+
+def slam_world_points(cfg: VioConfig, fs: FilterState, fej: bool = False):
+    """(S, 3) world positions implied by the anchored inverse-depth states."""
+    R_A, p_A = _anchor_rotations(fs, fej)
+    R_ci = quat_to_rotation(fs.q_ci)
+    idp = fs.slam.idp_null if fej else fs.slam.idp
+    rho = jnp.where(jnp.abs(idp[:, 2]) < 1e-8, 1e-8, idp[:, 2])
+    w = _ray(idp) / rho[:, None] - fs.t_ci[None, :]  # (S,3) cam-frame offset
+    # R_ci^T w == w @ R_ci; then rotate by R_A^T (anchor IMU -> world)
+    return p_A + jnp.einsum("sab,sb->sa", jnp.transpose(R_A, (0, 2, 1)), w @ R_ci)
+
+
+def _world_point_and_jac(idp, R_A, p_A, R_ci, t_ci):
+    """p_w plus Jacobians wrt idp, anchor pose, extrinsic. Batched over S.
+
+    Conventions (JPL left errors): R_true = (I - [dtheta]x) R_hat for both
+    clone and extrinsic rotations, so R^T_true = R_hat^T (I + [dtheta]x).
+    """
+    rho = jnp.where(jnp.abs(idp[:, 2]) < 1e-8, 1e-8, idp[:, 2])
+    m = _ray(idp)  # (S,3)
+    w = m / rho[:, None] - t_ci[None, :]  # (S,3) in cam frame
+    RAT = jnp.transpose(R_A, (0, 2, 1))  # (S,3,3) anchor IMU->world
+    u = w @ R_ci  # == R_ci^T w
+    p_w = p_A + jnp.einsum("sab,sb->sa", RAT, u)
+
+    # d(m/rho)/d idp
+    z = jnp.zeros_like(rho)
+    inv = 1.0 / rho
+    M = jnp.stack(
+        [
+            jnp.stack([inv, z, -idp[:, 0] * inv**2], axis=-1),
+            jnp.stack([z, inv, -idp[:, 1] * inv**2], axis=-1),
+            jnp.stack([z, z, -(inv**2)], axis=-1),
+        ],
+        axis=1,
+    )  # (S,3,3)
+    W = jnp.einsum("sab,cb->sac", RAT, R_ci)  # (S,3,3) = R_A^T R_ci^T
+    J_idp = jnp.einsum("sab,sbc->sac", W, M)
+    J_thA = -jnp.einsum("sab,sbc->sac", RAT, skew(u))  # d p_w / d dtheta_A
+    # extrinsic: d p_w = R_A^T R_ci^T (-[w]x dphi - dt_ci)
+    J_phi = -jnp.einsum("sab,sbc->sac", W, skew(w))
+    J_tci = -W
+    return p_w, J_idp, J_thA, J_phi, J_tci, W
 
 
 def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot):
@@ -64,6 +144,7 @@ def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot)
         return jnp.zeros((0, D), dtype), jnp.zeros((0,), dtype), jnp.zeros((0,), bool), jnp.zeros((0,), bool)
     sigma2 = jnp.asarray(cfg.noise.observation_noise**2, dtype)
     fej = cfg.filter.use_fej
+    C = cfg.filter.max_clones
 
     # measurement for each slam feature: the front-end slot it owns
     slot = fs.slam.track_slot  # (S,)
@@ -84,10 +165,18 @@ def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot)
     p_i_cur = fs.clones.p[newest_slot]
     R_ci = quat_to_rotation(fs.q_ci)
 
-    p_f = fs.slam.p_w_null if fej else fs.slam.p_w  # (S, 3) linearization
+    # linearized world points + anchored-idp Jacobians (FEJ values)
+    R_A_lin, p_A_lin = _anchor_rotations(fs, fej)
+    idp_lin = fs.slam.idp_null if fej else fs.slam.idp
+    p_f, J_idp, J_thA, J_phi, J_tci, _ = _world_point_and_jac(
+        idp_lin, R_A_lin, p_A_lin, R_ci, fs.t_ci
+    )
+    # residual world points at current estimates
+    p_f_cur = slam_world_points(cfg, fs, fej=False)
+
     p_ij = jnp.einsum("ab,sb->sa", R_wi_lin, p_f - p_i_lin[None, :])
     p_cj = jnp.einsum("ab,sb->sa", R_ci, p_ij) + fs.t_ci
-    p_ij_cur = jnp.einsum("ab,sb->sa", R_wi_cur, fs.slam.p_w - p_i_cur[None, :])
+    p_ij_cur = jnp.einsum("ab,sb->sa", R_wi_cur, p_f_cur - p_i_cur[None, :])
     p_cj_cur = jnp.einsum("ab,sb->sa", R_ci, p_ij_cur) + fs.t_ci
 
     z3 = jnp.where(jnp.abs(p_cj[:, 2]) < 1e-6, 1e-6, p_cj[:, 2])
@@ -99,33 +188,54 @@ def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot)
         axis=1,
     )  # (S, 2, 3)
     JR = jnp.einsum("sij,jk->sik", Jpi, R_ci)
+    B = jnp.einsum("sij,jk->sik", JR, R_wi_lin)  # (S,2,3) dz/dp_w chain
+    # observer-clone terms (same form as the MSCKF measurement model)
     H_theta = jnp.einsum("sij,sjk->sik", JR, skew(p_ij))
-    H_p = -jnp.einsum("sij,jk->sik", JR, R_wi_lin)
-    H_f = -H_p
-    H_ext_theta = jnp.einsum("sij,sjk->sik", Jpi, skew(p_cj - fs.t_ci[None, :]))
+    H_p_obs = -B
+    # anchor-clone terms through the anchored point
+    H_thA = jnp.einsum("sij,sjk->sik", B, J_thA)
+    H_pA = B  # d p_w / d p_A = I
+    # feature (idp) columns
+    H_f = jnp.einsum("sij,sjk->sik", B, J_idp)
+    # extrinsic: observer-side terms + anchor-side chain terms
+    H_ext_theta = jnp.einsum("sij,sjk->sik", Jpi, skew(p_cj - fs.t_ci[None, :])) + jnp.einsum(
+        "sij,sjk->sik", B, J_phi
+    )
+    H_ext_p = Jpi + jnp.einsum("sij,sjk->sik", B, J_tci)
 
     z3c = jnp.where(jnp.abs(p_cj_cur[:, 2]) < 1e-6, 1e-6, p_cj_cur[:, 2])
     pred = p_cj_cur[:, :2] / z3c[:, None]
     in_front = p_cj_cur[:, 2] > 0.1
+    anchor_ok = fs.clones.valid[jnp.clip(fs.slam.anchor_slot, 0, C - 1)] & (
+        fs.slam.anchor_slot >= 0
+    )
     r = jnp.where((tracked & in_front)[:, None], z - pred, 0.0)  # (S, 2)
 
-    # assemble rows
+    # assemble rows: observer clone block, anchor clone block (ADDED — anchor
+    # may coincide with the observer), extrinsic, own idp block
     H = jnp.zeros((S, 2, D), dtype)
-    off = CLONE_BASE + CLONE_DIM * newest_slot
+    off_obs = CLONE_BASE + CLONE_DIM * newest_slot
+    obs_block = jnp.concatenate([H_theta, H_p_obs], axis=-1)  # (S,2,6)
     H = jax.vmap(
-        lambda Hrow, ht, hp: jax.lax.dynamic_update_slice(
-            jax.lax.dynamic_update_slice(Hrow, ht, (0, off)), hp, (0, off + 3)
-        )
-    )(H, H_theta, H_p)
+        lambda Hrow, blk: jax.lax.dynamic_update_slice(Hrow, blk, (0, off_obs))
+    )(H, obs_block)
+    anc_block = jnp.concatenate([H_thA, H_pA], axis=-1)  # (S,2,6)
+    off_anc = CLONE_BASE + CLONE_DIM * jnp.clip(fs.slam.anchor_slot, 0, C - 1)
+
+    def add_anchor(Hrow, blk, off):
+        cur = jax.lax.dynamic_slice(Hrow, (0, off), (2, CLONE_DIM))
+        return jax.lax.dynamic_update_slice(Hrow, cur + blk, (0, off))
+
+    H = jax.vmap(add_anchor)(H, anc_block, off_anc)
     if cfg.filter.estimate_extrinsic:
         H = H.at[:, :, IDX_EXT_THETA:IDX_EXT_THETA + 3].set(H_ext_theta)
-        H = H.at[:, :, IDX_EXT_P:IDX_EXT_P + 3].set(Jpi)
+        H = H.at[:, :, IDX_EXT_P:IDX_EXT_P + 3].set(H_ext_p)
     base = slam_offset(cfg, 0)
     eyeS = jnp.eye(S, dtype=dtype)
     fcols = jnp.einsum("sik,st->sitk", H_f, eyeS).reshape(S, 2, S * SLAM_DIM)
     H = H.at[:, :, base : base + S * SLAM_DIM].set(fcols)
 
-    use = tracked & in_front
+    use = tracked & in_front & anchor_ok
     H = jnp.where(use[:, None, None], H, 0.0)
 
     # chi2 gate (2 dof) per feature
@@ -151,7 +261,15 @@ def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot)
     return H.reshape(2 * S, D), r.reshape(2 * S), accept, hard_fail
 
 
-def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx) -> FilterState:
+def _idp_of_world(p_w, R_A, p_A, R_ci, t_ci):
+    """[alpha, beta, rho] of world point(s) in the anchor camera. Batched."""
+    pc = jnp.einsum("ab,sb->sa", R_ci, jnp.einsum("sab,sb->sa", R_A, p_w - p_A)) + t_ci
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-8, 1e-8, pc[:, 2])
+    return jnp.stack([pc[:, 0] / z, pc[:, 1] / z, 1.0 / z], axis=-1), pc[:, 2]
+
+
+def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
+                     anchor_slot) -> FilterState:
     """Promote consumed candidates into free slam slots — exact delayed init.
 
     Each candidate's observation window was split by the Householder
@@ -159,56 +277,126 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx)
     in the stacked update that produced ``dx`` and the posterior ``fs.P``)
     and three range-space rows
 
-        r3 = H3 dx + Rf df + n,   n ~ N(0, sigma^2 I).
+        r3 = H3 dx + Rf df + n,   n ~ N(0, sigma^2 I),
 
-    Conditioning on the posterior gives the exact joint initialization
-    (Li & Mourikis-style hybrid promotion):
+    where df is the feature's WORLD-position error. Conditioning on the
+    posterior gives the exact joint initialization (Li & Mourikis-style):
 
         df_hat = Rf^-1 (r3 - H3 dx_hat)
         P_ff   = Rf^-1 (H3 P+ H3^T + sigma^2 I) Rf^-T
         P_fx   = -Rf^-1 H3 P+
 
-    so the window's information is fully used with no double counting.
+    The stored state is anchored inverse depth at ``anchor_slot`` (the newest
+    clone). The idp error relates to the world error by
+
+        df = J_idp d_idp + J_thA dtheta_A + dp_A   (+ extrinsic terms, whose
+        prior is ~3.5 mrad / 1 cm and is neglected here)
+
+    so  d_idp = J_idp^-1 (df - A dx_anchor)  with A = [J_thA, I], giving
+
+        P_idp,x   = T (P_fx - A P[a,:])          T = J_idp^-1
+        P_idp,idp = T (P_ff - P_fx[:,a] A^T - A P_fx[:,a]^T + A P[a,a] A^T) T^T
     """
     S = cfg.filter.max_slam_features
     if S == 0:
         return fs
     obs = fs.obs
-    F = obs.track_id.shape[0]
+    C = cfg.filter.max_clones
     sigma2 = jnp.asarray(cfg.noise.observation_noise**2, fs.P.dtype)
     D = state_dim(cfg)
+    dtype = fs.P.dtype
+
+    R_ci = quat_to_rotation(fs.q_ci)
+    a_slot = jnp.clip(anchor_slot, 0, C - 1)
+    R_Aq = quat_to_rotation(fs.clones.q[a_slot])
+    p_Aq = fs.clones.p[a_slot]
+    ao = clone_offset(a_slot)
 
     # per-candidate conditional init (vmapped pre-pass)
+    P_a_rows = jax.lax.dynamic_slice(fs.P, (ao, 0), (CLONE_DIM, D))  # (6,D)
+    P_aa = jax.lax.dynamic_slice(P_a_rows, (0, ao), (CLONE_DIM, CLONE_DIM))
+
     def init_of(k):
-        Rf = blocks.Rf[k] + 1e-9 * jnp.eye(3, dtype=fs.P.dtype)
+        Rf = blocks.Rf[k] + 1e-9 * jnp.eye(3, dtype=dtype)
         H3 = blocks.H3[k]
         r3 = blocks.r3[k]
         rhs = r3 - mm(H3, dx[:, None])[:, 0]
         df = jax.scipy.linalg.solve_triangular(Rf, rhs[:, None], lower=False)[:, 0]
-        H3P = mm(H3, fs.P)  # (3, D) — fs.P is the posterior here
-        P_fx = -jax.scipy.linalg.solve_triangular(Rf, H3P, lower=False)
-        P_ff = jax.scipy.linalg.solve_triangular(
-            Rf, mm(H3P, H3.T) + sigma2 * jnp.eye(3, dtype=fs.P.dtype), lower=False
-        )
-        P_ff = jax.scipy.linalg.solve_triangular(Rf, P_ff.T, lower=False).T
-        return df, P_fx, 0.5 * (P_ff + P_ff.T)
+        E = jax.scipy.linalg.solve_triangular(Rf, H3, lower=False)  # (3,D)
+        P_fx = -mm(E, fs.P)  # (3, D) — fs.P is the posterior here
+        RfinvT = jax.scipy.linalg.solve_triangular(
+            Rf, jnp.eye(3, dtype=dtype), lower=False
+        )  # Rf^-1
+        P_ff = -mm(P_fx, E.T) + sigma2 * mm(RfinvT, RfinvT.T)
+        P_ff = 0.5 * (P_ff + P_ff.T)
 
-    df_all, P_fx_all, P_ff_all = jax.vmap(init_of)(jnp.arange(S))
+        # world -> anchored-idp error transform
+        p_init = tri.p_w[k] + df
+        idp_hat, zA = _idp_of_world(
+            p_init[None], R_Aq[None], p_Aq[None], R_ci, fs.t_ci
+        )
+        idp_hat, zA = idp_hat[0], zA[0]
+        _, J_idp, J_thA, _, _, _ = _world_point_and_jac(
+            idp_hat[None], R_Aq[None], p_Aq[None], R_ci, fs.t_ci
+        )
+        J_idp, J_thA = J_idp[0], J_thA[0]
+        A6 = jnp.concatenate([J_thA, jnp.eye(3, dtype=dtype)], axis=1)  # (3,6)
+        T = jnp.linalg.inv(J_idp)
+        P_fa = jax.lax.dynamic_slice(P_fx, (0, ao), (3, CLONE_DIM))  # (3,6)
+        P_idp_x = mm(T, P_fx - mm(A6, P_a_rows))  # (3,D)
+        core = P_ff - mm(P_fa, A6.T) - mm(A6, P_fa.T) + mm(A6, mm(P_aa, A6.T))
+        P_idp = mm(T, mm(core, T.T))
+        P_idp = 0.5 * (P_idp + P_idp.T)
+        return idp_hat, zA, P_idp_x, P_idp, df, E, P_fx, A6, T
+
+    idp_all, zA_all, P_fx_all, P_ff_all, df_all, E_all, P_fx_raw, A6_all, T_all = jax.vmap(
+        init_of
+    )(jnp.arange(S))
+
+    # CROSS-covariance between co-promoted features — co-promoted features
+    # share the same state errors through their H3 blocks, so leaving these
+    # blocks zero makes the filter treat S highly-correlated landmarks as
+    # independent, which is catastrophically overconfident (observed: P
+    # collapses within ~50 frames of a 12-feature co-promotion). Exact:
+    #   Cov(d_i, d_j) = T_i [E_i P E_j^T - X_i A_j^T - A_i X_j^T
+    #                        + A_i P_aa A_j^T] T_j^T,   X_i = P_fx_i[:, a6]
+    # (measurement noises of distinct features are independent — no sigma^2
+    # cross term).
+    X_all = jax.vmap(
+        lambda Pf: jax.lax.dynamic_slice(Pf, (0, ao), (3, CLONE_DIM))
+    )(P_fx_raw)  # (S,3,6)
+
+    def cross_of(i, j):
+        m1 = -mm(P_fx_raw[i], E_all[j].T)  # E_i P E_j^T  (P_fx = -E P)
+        m2 = -mm(X_all[i], A6_all[j].T)  # -X_i A_j^T
+        m3 = -mm(A6_all[i], X_all[j].T)  # -A_i X_j^T
+        m4 = mm(A6_all[i], mm(P_aa, A6_all[j].T))
+        return mm(T_all[i], mm(m1 + m2 + m3 + m4, T_all[j].T))
+
+    cross_all = jax.vmap(
+        lambda i: jax.vmap(lambda j: cross_of(i, j))(jnp.arange(S))
+    )(jnp.arange(S))  # (S,S,3,3)
 
     # only promote features whose initialization is well-constrained — a
-    # promoted feature's linearization point is (FEJ-)frozen, so a multi-meter
-    # depth sigma would poison every subsequent per-frame update. Also require
-    # a well-conditioned elimination factor and finite blocks: in f32 a nearly
-    # singular Rf can make the joint covariance indefinite.
+    # promoted feature's linearization point is (FEJ-)frozen. With inverse
+    # depth the gates are unit-correct: bearing sigma (normalized image) and
+    # inverse-depth sigma (1/m) — distant features have small rho and small
+    # rho-sigma, so they pass where a world-xyz depth gate starved them.
     diag_ff = jnp.diagonal(P_ff_all, axis1=1, axis2=2)
+    fcfg = cfg.filter
     well_init = (
-        (jnp.max(diag_ff, axis=1) < cfg.filter.slam_max_init_sigma**2)
+        (jnp.max(diag_ff[:, :2], axis=1) < _MAX_AB_SIGMA**2)
+        & (diag_ff[:, 2] < fcfg.slam_max_init_rho_sigma**2)
         & (jnp.min(diag_ff, axis=1) > 0.0)
+        & (zA_all > fcfg.tri_min_depth)
+        & (idp_all[:, 2] > 1.0 / fcfg.tri_max_depth)
         & (jnp.min(jnp.abs(jnp.diagonal(blocks.Rf, axis1=1, axis2=2)), axis=1) > 1e-4)
+        & jnp.all(jnp.isfinite(idp_all), axis=1)
         & jnp.all(jnp.isfinite(df_all), axis=1)
         & jnp.all(jnp.isfinite(P_fx_all.reshape(S, -1)), axis=1)
         & jnp.all(jnp.isfinite(P_ff_all.reshape(S, -1)), axis=1)
-        & (jnp.linalg.norm(df_all, axis=1) < 3.0 * cfg.filter.slam_max_init_sigma)
+        & fs.clones.valid[a_slot]
+        & (anchor_slot >= 0)
     )
     sel = sel & well_init
 
@@ -220,46 +408,190 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx)
     rank = jnp.cumsum(take.astype(jnp.int32)) - 1
     slot_for_cand = jnp.where(take, free_order[jnp.clip(rank, 0, S - 1)], -1)
 
-    state = (
-        fs.slam.p_w, fs.slam.p_w_null, fs.slam.track_slot, fs.slam.track_id,
-        fs.slam.valid, fs.P,
+    # inverse map: which candidate (if any) took slot s. Out-of-range scatter
+    # indices are dropped, so untaken slots keep cand 0 but slot_taken=False.
+    scatter_idx = jnp.where(take, slot_for_cand, S)
+    cand_of_slot = jnp.zeros(S, jnp.int32).at[scatter_idx].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop"
     )
+    slot_taken = jnp.zeros(S, bool).at[scatter_idx].set(True, mode="drop")
 
-    def assign(carry, k):
-        p_w_new, null_new, tslot_new, tid_new, valid_new, P = carry
-        do = take[k]
-        sc = jnp.clip(slot_for_cand[k], 0, S - 1)
-        row = idx[k]
+    # ---- slot bookkeeping (vectorized; no scan) ------------------------------
+    sel_c = lambda a: a[cand_of_slot]
+    tk = slot_taken
+    idp_new = jnp.where(tk[:, None], sel_c(idp_all), fs.slam.idp)
+    null_new = jnp.where(tk[:, None], sel_c(idp_all), fs.slam.idp_null)
+    anch_new = jnp.where(tk, a_slot.astype(jnp.int32), fs.slam.anchor_slot)
+    rows_c = jnp.clip(idx[cand_of_slot], 0, obs.track_id.shape[0] - 1)
+    tslot_new = jnp.where(tk, rows_c.astype(jnp.int32), fs.slam.track_slot)
+    tid_new = jnp.where(tk, obs.track_id[rows_c], fs.slam.track_id)
+    valid_new = fs.slam.valid | tk
 
-        df = df_all[k]
-        P_fx = P_fx_all[k]
-        P_ff = P_ff_all[k]
-
-        p_init = tri.p_w[k] + df
-        p_w_new = jnp.where(do, p_w_new.at[sc].set(p_init), p_w_new)
-        null_new = jnp.where(do, null_new.at[sc].set(p_init), null_new)
-        tslot_new = jnp.where(do, tslot_new.at[sc].set(row.astype(jnp.int32)), tslot_new)
-        tid_new = jnp.where(do, tid_new.at[sc].set(obs.track_id[row]), tid_new)
-        valid_new = jnp.where(do, valid_new.at[sc].set(True), valid_new)
-
-        off = slam_offset(cfg, sc)
-        Pa = jax.lax.dynamic_update_slice(P, P_fx, (off, 0))
-        Pa = jax.lax.dynamic_update_slice(Pa, P_fx.T, (0, off))
-        Pa = jax.lax.dynamic_update_slice(Pa, P_ff, (off, off))
-        P = jnp.where(do, Pa, P)
-        return (p_w_new, null_new, tslot_new, tid_new, valid_new, P), None
-
-    (p_w_new, null_new, tslot_new, tid_new, valid_new, P), _ = jax.lax.scan(
-        assign, state, jnp.arange(S)
+    # ---- covariance write: ONE static-slice row pass + col pass + block fix --
+    # (a per-candidate scan of dynamic_update_slice materializes a full (D,D)
+    # copy per step; at S=12 plus S^2 cross writes that was ~30 MB of HBM
+    # traffic per frame and cost ~17% of pipeline throughput)
+    base = slam_offset(cfg, 0)
+    nS = S * SLAM_DIM
+    P = fs.P
+    old_rows = P[base : base + nS, :].reshape(S, SLAM_DIM, D)
+    rows_full = jnp.where(tk[:, None, None], sel_c(P_fx_all), old_rows)
+    P = P.at[base : base + nS, :].set(rows_full.reshape(nS, D))
+    # column pass: mirror the rows (P_fx^T per taken slot)
+    old_cols = P[:, base : base + nS].reshape(D, S, SLAM_DIM)
+    cols_full = jnp.where(
+        tk[None, :, None], jnp.transpose(rows_full, (2, 0, 1)), old_cols
     )
+    P = P.at[:, base : base + nS].set(cols_full.reshape(D, nS))
+    # slam-block interior: taken diagonals get P_ff; taken-taken off-diagonal
+    # pairs get the exact cross blocks (their P_fx columns were zero — each was
+    # computed before any sibling existed)
+    blk = P[base : base + nS, base : base + nS].reshape(S, SLAM_DIM, S, SLAM_DIM)
+    M = cross_all[cand_of_slot[:, None], cand_of_slot[None, :]]  # (S,S,3,3)
+    M = jnp.transpose(M, (0, 2, 1, 3))  # -> (S,3,S,3)
+    pair = tk[:, None] & tk[None, :]
+    off_diag = pair & ~jnp.eye(S, dtype=bool)
+    blk = jnp.where(off_diag[:, None, :, None], M, blk)
+    diag = P_ff_all[cand_of_slot]  # (S,3,3)
+    eye_pair = tk[:, None] & tk[None, :] & jnp.eye(S, dtype=bool)
+    blk = jnp.where(eye_pair[:, None, :, None], diag[:, :, None, :], blk)
+    P = P.at[base : base + nS, base : base + nS].set(blk.reshape(nS, nS))
 
     return fs.replace(
         slam=fs.slam.replace(
-            p_w=p_w_new, p_w_null=null_new, track_slot=tslot_new,
-            track_id=tid_new, valid=valid_new,
+            idp=idp_new, idp_null=null_new, anchor_slot=anch_new,
+            track_slot=tslot_new, track_id=tid_new, valid=valid_new,
         ),
         P=P,
     )
+
+
+def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune) -> FilterState:
+    """Re-anchor slam features whose anchor clone is being pruned.
+
+    MUST run before prune.remove_clones zeroes the pruned slots' covariance —
+    the transform consumes the old anchor's rows. New anchor = newest clone
+    that survives the prune. First-order error map (see module docstring
+    conventions; extrinsic cross-terms neglected, prior ~mrad/cm):
+
+        d_idp_B = G_f d_idp_A + G_A dx_A + G_B dx_B
+        G_f = N R_ci R_B J_idp^A
+        G_A = N R_ci R_B [J_thA, I]
+        G_B = N [R_ci [v]x, -R_ci R_B],  v = R_B (p_w - p_B)
+
+    with N = d idp_B / d p_cB. Covariance: P' = T P T^T applied as a masked
+    row pass then column pass (each feature's rows/cols are disjoint and the
+    read set — own block, anchor blocks — is never written by another
+    feature, so sequential masked updates compose exactly).
+    """
+    S = cfg.filter.max_slam_features
+    if S == 0:
+        return fs
+    C = cfg.filter.max_clones
+    D = state_dim(cfg)
+    dtype = fs.P.dtype
+    R_ci = quat_to_rotation(fs.q_ci)
+
+    pruned = (jax.nn.one_hot(slot_a, C, dtype=bool) | jax.nn.one_hot(slot_b, C, dtype=bool)) & do_prune
+    a_cur = jnp.clip(fs.slam.anchor_slot, 0, C - 1)
+    needs = fs.slam.valid & (fs.slam.anchor_slot >= 0) & pruned[a_cur]
+
+    # new anchor: newest surviving clone
+    surv = fs.clones.valid & ~pruned
+    frame = jnp.where(surv, fs.clones.frame, -1)
+    b_slot = jnp.argmax(frame)
+    has_b = jnp.any(surv)
+    needs = needs & has_b
+
+    R_A, p_A = _anchor_rotations(fs, fej=False)
+    R_B = quat_to_rotation(fs.clones.q[b_slot])
+    p_B = fs.clones.p[b_slot]
+    bo = clone_offset(b_slot)
+
+    # current world point + old-anchor Jacobians at the CURRENT estimate
+    p_w, J_idpA, J_thA, _, _, _ = _world_point_and_jac(
+        fs.slam.idp, R_A, p_A, R_ci, fs.t_ci
+    )
+    idp_B, zB = _idp_of_world(p_w, jnp.tile(R_B[None], (S, 1, 1)), p_B[None], R_ci, fs.t_ci)
+    ok = needs & (zB > 0.05) & jnp.all(jnp.isfinite(idp_B), axis=1)
+
+    # N = d idp_B / d p_cB at p_cB
+    pcB = jnp.einsum("ab,sb->sa", R_ci, jnp.einsum("ab,sb->sa", R_B, p_w - p_B)) + fs.t_ci
+    zb = jnp.where(jnp.abs(pcB[:, 2]) < 1e-8, 1e-8, pcB[:, 2])
+    zr = jnp.zeros_like(zb)
+    N = jnp.stack(
+        [
+            jnp.stack([1 / zb, zr, -pcB[:, 0] / zb**2], axis=-1),
+            jnp.stack([zr, 1 / zb, -pcB[:, 1] / zb**2], axis=-1),
+            jnp.stack([zr, zr, -1 / zb**2], axis=-1),
+        ],
+        axis=1,
+    )  # (S,3,3)
+    NRB = jnp.einsum("sab,bc,cd->sad", N, R_ci, R_B)  # (S,3,3) N R_ci R_B
+    G_f = jnp.einsum("sab,sbc->sac", NRB, J_idpA)
+    G_A = jnp.concatenate(
+        [jnp.einsum("sab,sbc->sac", NRB, J_thA), NRB], axis=2
+    )  # (S,3,6)
+    v = jnp.einsum("ab,sb->sa", R_B, p_w - p_B)
+    G_B = jnp.concatenate(
+        [
+            jnp.einsum("sab,bc,scd->sad", N, R_ci, skew(v)),
+            -NRB,
+        ],
+        axis=2,
+    )  # (S,3,6)
+
+    ao_all = clone_offset(a_cur)  # (S,)
+    dead = needs & ~ok  # couldn't re-anchor (behind new anchor / no survivor)
+
+    # P' = T P T^T as one vectorized row pass + col pass (a per-feature scan
+    # of dynamic_update_slice copies the full (D,D) each step). The read set
+    # of every feature (own block, old/new anchor rows) is disjoint from the
+    # write set (own slam rows/cols), so the batched row pass equals T P and
+    # the batched col pass equals (T P) T^T exactly.
+    base = slam_offset(cfg, 0)
+    nS = S * SLAM_DIM
+    P = fs.P
+    gidx = ao_all[:, None] + jnp.arange(CLONE_DIM)[None, :]  # (S,6)
+    rows_f = P[base : base + nS, :].reshape(S, SLAM_DIM, D)
+    rows_a = P[gidx.reshape(-1), :].reshape(S, CLONE_DIM, D)
+    rows_b = jax.lax.dynamic_slice(P, (bo, 0), (CLONE_DIM, D))
+    new_rows = (
+        jnp.einsum("sab,sbd->sad", G_f, rows_f)
+        + jnp.einsum("sab,sbd->sad", G_A, rows_a)
+        + jnp.einsum("sab,bd->sad", G_B, rows_b)
+    )
+    keep = ~(ok | dead)
+    new_rows = jnp.where(ok[:, None, None], new_rows, rows_f)
+    new_rows = jnp.where(keep[:, None, None], rows_f, new_rows)
+    new_rows = jnp.where(dead[:, None, None], 0.0, new_rows)
+    P = P.at[base : base + nS, :].set(new_rows.reshape(nS, D))
+
+    cols_f = P[:, base : base + nS].reshape(D, S, SLAM_DIM)
+    cols_a = P[:, gidx.reshape(-1)].reshape(D, S, CLONE_DIM)
+    cols_b = jax.lax.dynamic_slice(P, (0, bo), (D, CLONE_DIM))
+    new_cols = (
+        jnp.einsum("dsb,sab->dsa", cols_f, G_f)
+        + jnp.einsum("dsb,sab->dsa", cols_a, G_A)
+        + jnp.einsum("db,sab->dsa", cols_b, G_B)
+    )
+    new_cols = jnp.where(ok[None, :, None], new_cols, cols_f)
+    new_cols = jnp.where(keep[None, :, None], cols_f, new_cols)
+    new_cols = jnp.where(dead[None, :, None], 0.0, new_cols)
+    P = P.at[:, base : base + nS].set(new_cols.reshape(D, nS))
+
+    slam = fs.slam.replace(
+        idp=jnp.where(ok[:, None], idp_B, fs.slam.idp),
+        idp_null=jnp.where(ok[:, None], idp_B, fs.slam.idp_null),
+        anchor_slot=jnp.where(
+            ok, jnp.full((S,), 1, jnp.int32) * b_slot.astype(jnp.int32),
+            jnp.where(dead, -1, fs.slam.anchor_slot),
+        ),
+        valid=fs.slam.valid & ~dead,
+        track_id=jnp.where(dead, -1, fs.slam.track_id),
+        track_slot=jnp.where(dead, -1, fs.slam.track_slot),
+    )
+    return fs.replace(slam=slam, P=P)
 
 
 def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
@@ -293,6 +625,7 @@ def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
             valid=fs.slam.valid & ~drop,
             track_id=jnp.where(drop, -1, fs.slam.track_id),
             track_slot=jnp.where(drop, -1, fs.slam.track_slot),
+            anchor_slot=jnp.where(drop, -1, fs.slam.anchor_slot),
         ),
         P=P,
     )

@@ -78,10 +78,19 @@ class CloneStates:
 
 @struct.dataclass
 class SlamFeatures:
-    """In-state long-lived SLAM features (hybrid MSCKF, SURVEY.md §3.3)."""
+    """In-state long-lived SLAM features (hybrid MSCKF, SURVEY.md §3.3).
 
-    p_w: jnp.ndarray  # (S, 3) world position (nominal)
-    p_w_null: jnp.ndarray  # (S, 3) FEJ value
+    Parameterization: anchored inverse depth [alpha, beta, rho] — the
+    feature's normalized image coordinates + inverse depth in the anchor
+    clone's camera (the reference's parameterization, SURVEY.md §2 "State
+    vector layout"). ``models/slam.py`` holds the geometry and the anchor
+    lifecycle (promotion anchors at the newest clone; pruning the anchor
+    triggers an exact re-anchoring transform).
+    """
+
+    idp: jnp.ndarray  # (S, 3) [alpha, beta, rho] in the anchor camera
+    idp_null: jnp.ndarray  # (S, 3) FEJ value
+    anchor_slot: jnp.ndarray  # (S,) int32 clone slot anchoring the feature (-1 free)
     track_slot: jnp.ndarray  # (S,) int32 front-end slot currently feeding it (-1 free)
     track_id: jnp.ndarray  # (S,) int32 id of the owning track
     valid: jnp.ndarray  # (S,) bool
@@ -97,7 +106,9 @@ class ObservationTable:
     uv: jnp.ndarray  # (F, C, 2) undistorted normalized coords
     valid: jnp.ndarray  # (F, C) bool
     track_id: jnp.ndarray  # (F,) int32 id of the track owning the row (-1 empty)
-    vel: jnp.ndarray  # (F, C, 2) image-plane velocity at each observation (for td)
+    # note: per-observation image velocity is NOT stored — td enters through
+    # the augmentation Jacobian (augmentation.py), so the measurement model
+    # never reads it (a velocity term there would double-count td)
 
 
 @struct.dataclass
@@ -169,8 +180,9 @@ def init_filter_state(cfg: VioConfig, dtype=jnp.float32) -> FilterState:
             valid=jnp.zeros(C, bool),
         ),
         slam=SlamFeatures(
-            p_w=jnp.zeros((S, 3), dtype),
-            p_w_null=jnp.zeros((S, 3), dtype),
+            idp=jnp.zeros((S, 3), dtype).at[:, 2].set(1.0),
+            idp_null=jnp.zeros((S, 3), dtype).at[:, 2].set(1.0),
+            anchor_slot=jnp.full(S, -1, jnp.int32),
             track_slot=jnp.full(S, -1, jnp.int32),
             track_id=jnp.full(S, -1, jnp.int32),
             valid=jnp.zeros(S, bool),
@@ -179,7 +191,6 @@ def init_filter_state(cfg: VioConfig, dtype=jnp.float32) -> FilterState:
             uv=jnp.zeros((F, C, 2), dtype),
             valid=jnp.zeros((F, C), bool),
             track_id=jnp.full(F, -1, jnp.int32),
-            vel=jnp.zeros((F, C, 2), dtype),
         ),
         P=jnp.zeros((D, D), dtype),
         time=jnp.asarray(0.0, dtype),

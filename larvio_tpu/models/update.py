@@ -60,11 +60,11 @@ class FeatureBlock(NamedTuple):
 
 
 def _project_jacobian(cfg: VioConfig, fs: FilterState, p_w: jnp.ndarray,
-                      uv: jnp.ndarray, vel: jnp.ndarray, row_mask: jnp.ndarray):
+                      uv: jnp.ndarray, row_mask: jnp.ndarray):
     """Dense per-feature Jacobians over all clone slots.
 
-    p_w: (3,) triangulated feature. uv: (C, 2) observations. vel: (C, 2)
-    per-observation image velocities. row_mask: (C,) which clone observations
+    p_w: (3,) triangulated feature. uv: (C, 2) observations.
+    row_mask: (C,) which clone observations
     contribute *rows* (dead-track update: all valid obs; prune update: only
     the clones being removed).
     Returns H_x (2C, D), H_f (2C, 3), r (2C,).
@@ -147,7 +147,7 @@ def _project_jacobian(cfg: VioConfig, fs: FilterState, p_w: jnp.ndarray,
     )
 
 
-def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, vel, row_mask, tri_valid) -> FeatureBlock:
+def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, row_mask, tri_valid) -> FeatureBlock:
     """Build one feature's projected, gated measurement block."""
     C = cfg.filter.max_clones
     sigma2 = jnp.asarray(cfg.noise.observation_noise**2, fs.P.dtype)
@@ -158,7 +158,7 @@ def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, vel, row_mask, tri_v
     uv_s = uv[order]
     mask_s = row_mask[order]
     # permute rows consistently by expanding the clone permutation to row pairs
-    H_x, H_f, r = _project_jacobian(cfg, fs, p_w, uv, vel, row_mask)
+    H_x, H_f, r = _project_jacobian(cfg, fs, p_w, uv, row_mask)
     row_perm = (2 * order[:, None] + jnp.arange(2)[None, :]).reshape(-1)
     H_x, H_f, r = H_x[row_perm], H_f[row_perm], r[row_perm]
 
@@ -250,7 +250,7 @@ def inject_error(cfg: VioConfig, fs: FilterState, dx: jnp.ndarray) -> FilterStat
         base = CLONE_BASE + C * CLONE_DIM
         dslam = dx[base : base + S * 3].reshape(S, 3)
         slam = slam.replace(
-            p_w=slam.p_w + jnp.where(slam.valid[:, None], dslam, 0.0)
+            idp=slam.idp + jnp.where(slam.valid[:, None], dslam, 0.0)
         )
     return fs.replace(
         q=q, bg=bg, v=v, ba=ba, p=p, q_ci=q_ci, t_ci=t_ci, td=td,

@@ -47,8 +47,13 @@ def _bilinear_from_slab(slab, fx, fy, patch):
     )
 
 
-def _make_kernel(shapes, patch, iters, precision):
-    """shapes: list of (H, W_logical) per level, fine->coarse. The image refs
+def _make_feature_body(shapes, patch, iters, precision, ld):
+    """Shared per-feature LK solve over the pyramid.
+
+    ``ld(ref, rows, cols)`` loads a 2D window from an image ref — identity
+    indexing for the single-instance kernel, leading-0 indexing for the
+    batched (B, F) kernel whose image blocks are (1, H, W).
+    shapes: list of (H, W_logical) per level, fine->coarse. The image refs
     are lane-padded to a multiple of 128 columns; clamping uses the logical
     width, loads use the padded one."""
     levels = len(shapes)
@@ -58,24 +63,9 @@ def _make_kernel(shapes, patch, iters, precision):
     def pad_w(w):
         return -(-w // 128) * 128
 
-    def kernel(pos_ref, guess_ref, valid_ref, *refs):
-        # refs layout: [prev_0..prev_L, curr_0..curr_L, gx_0.., gy_0..,
-        #               out_pos, out_valid, out_err]
-        prev = refs[0:levels]
-        curr = refs[levels : 2 * levels]
-        gxs = refs[2 * levels : 3 * levels]
-        gys = refs[3 * levels : 4 * levels]
-        out_pos = refs[4 * levels]
-        out_valid = refs[4 * levels + 1]
-        out_err = refs[4 * levels + 2]
-
-        i = pl.program_id(0)
-        px = pos_ref[i, 0]
-        py = pos_ref[i, 1]
-        feat_ok = valid_ref[i] > 0
-
-        fx0 = guess_ref[i, 0] - px
-        fy0 = guess_ref[i, 1] - py
+    def body(prev, curr, gxs, gys, px, py, gpx, gpy, feat_ok):
+        fx0 = gpx - px
+        fy0 = gpy - py
 
         def slab_at(ref, H, W, cx, cy):
             # Mosaic requires aligned vector loads: dynamic offsets must be
@@ -92,12 +82,12 @@ def _make_kernel(shapes, patch, iters, precision):
             ya = jnp.minimum((y0 // 8) * 8, Hp - 32)
             ya = pl.multiple_of(ya, 8)
             if Wp <= 256:
-                wide = ref[pl.ds(ya, 32), :]  # (32, Wp) static width
+                wide = ld(ref, pl.ds(ya, 32), slice(None))  # (32, Wp) static width
                 rolled = pltpu.roll(wide, -x0, axis=1)
             else:
                 xa = jnp.minimum((x0 // 128) * 128, Wp - 256)
                 xa = pl.multiple_of(xa, 128)
-                wide = ref[pl.ds(ya, 32), pl.ds(xa, 256)]
+                wide = ld(ref, pl.ds(ya, 32), pl.ds(xa, 256))
                 rolled = pltpu.roll(wide, -(x0 - xa), axis=1)
             rolled = pltpu.roll(rolled, -(y0 - ya), axis=0)
             slab = rolled[:S, :S]
@@ -174,10 +164,79 @@ def _make_kernel(shapes, patch, iters, precision):
                 ok = feat_ok & new_ok & (lvl_err < _MAX_ERR)
                 err = lvl_err
 
-        out_pos[i, 0] = px + flow_x
-        out_pos[i, 1] = py + flow_y
+        return px + flow_x, py + flow_y, ok, err
+
+    return body
+
+
+def _make_kernel(shapes, patch, iters, precision):
+    """Single-instance kernel: grid (F,), whole pyramids resident in VMEM."""
+    levels = len(shapes)
+    feature = _make_feature_body(
+        shapes, patch, iters, precision, ld=lambda ref, r, c: ref[r, c]
+    )
+
+    def kernel(pos_ref, guess_ref, valid_ref, *refs):
+        # refs layout: [prev_0..prev_L, curr_0..curr_L, gx_0.., gy_0..,
+        #               out_pos, out_valid, out_err]
+        prev = refs[0:levels]
+        curr = refs[levels : 2 * levels]
+        gxs = refs[2 * levels : 3 * levels]
+        gys = refs[3 * levels : 4 * levels]
+        out_pos = refs[4 * levels]
+        out_valid = refs[4 * levels + 1]
+        out_err = refs[4 * levels + 2]
+
+        i = pl.program_id(0)
+        ox, oy, ok, err = feature(
+            prev, curr, gxs, gys,
+            pos_ref[i, 0], pos_ref[i, 1],
+            guess_ref[i, 0], guess_ref[i, 1],
+            valid_ref[i] > 0,
+        )
+        out_pos[i, 0] = ox
+        out_pos[i, 1] = oy
         out_valid[i] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
         out_err[i] = err
+
+    return kernel
+
+
+def _make_kernel_batched(shapes, patch, iters, precision, n_feat):
+    """Fleet kernel: grid (B, F) — F innermost, so each instance's pyramid
+    blocks stay resident in VMEM across its whole feature table (Pallas skips
+    the re-copy when the block index map output is unchanged).
+
+    Scalar operands are FLATTENED 1-D SMEM arrays indexed b*F+i: SMEM pads
+    multi-dim arrays per element (~256 B each), so an (8, 200, 2) f32 operand
+    would claim 800 KB of the 1 MB SMEM budget; flat it is 12.8 KB."""
+    levels = len(shapes)
+    feature = _make_feature_body(
+        shapes, patch, iters, precision, ld=lambda ref, r, c: ref[0, r, c]
+    )
+
+    def kernel(pos_ref, guess_ref, valid_ref, *refs):
+        prev = refs[0:levels]
+        curr = refs[levels : 2 * levels]
+        gxs = refs[2 * levels : 3 * levels]
+        gys = refs[3 * levels : 4 * levels]
+        out_pos = refs[4 * levels]
+        out_valid = refs[4 * levels + 1]
+        out_err = refs[4 * levels + 2]
+
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        k = b * n_feat + i
+        ox, oy, ok, err = feature(
+            prev, curr, gxs, gys,
+            pos_ref[2 * k], pos_ref[2 * k + 1],
+            guess_ref[2 * k], guess_ref[2 * k + 1],
+            valid_ref[k] > 0,
+        )
+        out_pos[2 * k] = ox
+        out_pos[2 * k + 1] = oy
+        out_valid[k] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
+        out_err[k] = err
 
     return kernel
 
@@ -185,16 +244,23 @@ def _make_kernel(shapes, patch, iters, precision):
 def pallas_available() -> bool:
     """True when tracing for a TPU execution environment.
 
-    Tests pin ``jax_default_device`` to CPU (this container registers the TPU
-    backend unconditionally), so the default-device setting is the signal.
+    Resolution order: an explicit ``jax_default_device`` pin wins (tests pin
+    CPU; bench pins the TPU), else the process default backend. "axon" is the
+    remote-TPU PJRT plugin this image can register — it executes TPU programs,
+    so Pallas lowers for it. Mixed-platform processes that jit for a
+    non-default device should set ``frontend.use_pallas_lk`` explicitly
+    instead of relying on this heuristic; the driver's multi-chip dryrun runs
+    in a hermetically CPU-pinned subprocess and never reaches here with a TPU
+    registered.
     """
+    tpu_like = ("tpu", "axon")
     try:
         dd = jax.config.jax_default_device
         if dd is not None:
-            return str(getattr(dd, "platform", dd)).lower().startswith("tpu")
+            return str(getattr(dd, "platform", dd)).lower().startswith(tpu_like)
     except Exception:
         pass
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() in tpu_like
 
 
 def lk_track_pallas(
@@ -209,9 +275,10 @@ def lk_track_pallas(
     iters: int = 12,
     precision: float = 0.01,
 ) -> LKResult:
-    """vmap-compatible wrapper: fleet batching maps to per-instance kernel
-    launches (lax.map) — pallas_call's auto-batching rule cannot handle the
-    SMEM operands, and instances have distinct pyramids anyway."""
+    """vmap-compatible wrapper: fleet batching maps to ONE batched kernel
+    launch with grid (B, F) — per-instance pyramids ride in as (1, H, W)
+    blocks (VERDICT r1 #5; the old lax.map custom_vmap serialized instances
+    and regressed image-level fleet throughput)."""
     out = _lk_pallas_vmappable(
         patch, iters, float(precision),
         prev_pyr, curr_pyr, grad_pyr_x, grad_pyr_y, pos_prev, pos_guess, valid,
@@ -236,8 +303,10 @@ def _make_vmappable(patch, iters, precision):
             return leaf if b else jnp.broadcast_to(leaf[None], (axis_size, *leaf.shape))
 
         args_b = jax.tree.map(prep, list(args), in_batched)
-        out = jax.lax.map(lambda a: fn(*a), tuple(args_b))
-        return out, (True, True, True)
+        r = _lk_track_pallas_batched_impl(
+            *args_b, patch=patch, iters=iters, precision=precision
+        )
+        return (r.pos, r.valid, r.err), (True, True, True)
 
     return fn
 
@@ -246,7 +315,102 @@ def _lk_pallas_vmappable(patch, iters, precision, *args):
     return _make_vmappable(patch, iters, precision)(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "iters", "precision"))
+def _pad_hw(H, W):
+    return max(-(-H // 8) * 8, 32), -(-W // 128) * 128
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch", "iters", "precision", "interpret")
+)
+def _lk_track_pallas_batched_impl(
+    prev_pyr: tuple,  # levels of (B, H, W)
+    curr_pyr: tuple,
+    grad_pyr_x: tuple,
+    grad_pyr_y: tuple,
+    pos_prev: jnp.ndarray,  # (B, F, 2)
+    pos_guess: jnp.ndarray,
+    valid: jnp.ndarray,  # (B, F)
+    patch: int = 15,
+    iters: int = 12,
+    precision: float = 0.01,
+    interpret: bool = False,
+) -> LKResult:
+    """Fleet LK: ONE pallas_call with grid (B, F).
+
+    The image operands are blocked (1, Hp, Wp) with index map (b, f) ->
+    (b, 0, 0): F is the innermost grid axis, so an instance's four pyramid
+    block sets are copied into VMEM once and reused for its whole feature
+    table — aggregate VMEM traffic is B x pyramid, not B x F x pyramid.
+    """
+    B, F = pos_prev.shape[0], pos_prev.shape[1]
+    levels = len(prev_pyr)
+    shapes = tuple((int(im.shape[1]), int(im.shape[2])) for im in prev_pyr)
+    kernel = _make_kernel_batched(shapes, patch, iters, float(precision), F)
+
+    def padded(imgs):
+        out = []
+        for im in imgs:
+            _, H, W = im.shape
+            Hp, Wp = _pad_hw(H, W)
+            if (Hp, Wp) != (H, W):
+                im = jnp.pad(im, ((0, 0), (0, Hp - H), (0, Wp - W)))
+            out.append(im)
+        return tuple(out)
+
+    prev_pyr = padded(prev_pyr)
+    curr_pyr = padded(curr_pyr)
+    grad_pyr_x = padded(grad_pyr_x)
+    grad_pyr_y = padded(grad_pyr_y)
+
+    img_specs = [
+        pl.BlockSpec(
+            (1, im.shape[1], im.shape[2]),
+            lambda b, f: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for im in (*prev_pyr, *curr_pyr, *grad_pyr_x, *grad_pyr_y)
+    ]
+    out_pos, out_valid, out_err = pl.pallas_call(
+        kernel,
+        grid=(B, F),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # guess
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # valid
+            *img_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * F * 2,), jnp.float32),
+            jax.ShapeDtypeStruct((B * F,), jnp.int32),
+            jax.ShapeDtypeStruct((B * F,), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        pos_prev.reshape(-1),
+        pos_guess.reshape(-1),
+        valid.astype(jnp.int32).reshape(-1),
+        *prev_pyr,
+        *curr_pyr,
+        *grad_pyr_x,
+        *grad_pyr_y,
+    )
+
+    out_pos = out_pos.reshape(B, F, 2)
+    out_valid = out_valid.reshape(B, F)
+    out_err = out_err.reshape(B, F)
+    H0, W0 = shapes[0]
+    ok = (out_valid > 0) & in_bounds(out_pos, (H0, W0), margin=1.0)
+    return LKResult(pos=out_pos, valid=ok, err=out_err)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch", "iters", "precision", "interpret")
+)
 def _lk_track_pallas_impl(
     prev_pyr: tuple,
     curr_pyr: tuple,
@@ -258,6 +422,7 @@ def _lk_track_pallas_impl(
     patch: int = 15,
     iters: int = 12,
     precision: float = 0.01,
+    interpret: bool = False,
 ) -> LKResult:
     F = pos_prev.shape[0]
     levels = len(prev_pyr)
@@ -300,6 +465,7 @@ def _lk_track_pallas_impl(
             jax.ShapeDtypeStruct((F,), jnp.int32),
             jax.ShapeDtypeStruct((F,), jnp.float32),
         ),
+        interpret=interpret,
     )(
         pos_prev,
         pos_guess,

@@ -20,7 +20,13 @@ import numpy as np
 from larvio_tpu.config import VioConfig
 from larvio_tpu.init.alignment import linear_alignment, solve_gyro_bias
 from larvio_tpu.init.preintegration import Preintegration
-from larvio_tpu.init.sfm import pnp, relative_pose_ransac, triangulate
+from larvio_tpu.init.sfm import (
+    bundle_adjust,
+    pnp,
+    relative_pose_ransac,
+    triangulate,
+    triangulate_new_tracks,
+)
 
 
 @dataclass
@@ -167,6 +173,15 @@ class FlexibleInitializer:
             if inl_k.sum() < 6:
                 return None
             R_c[k], t_c[k] = R_k, t_k
+
+        # --- windowed bundle adjustment (ref:GlobalSFM's ceres BA) ----------
+        # Without this polish the SfM poses carry a few degrees of tilt and
+        # ~tens of percent scale error, which the linear alignment inherits
+        # (moving-start ATE ~1 m); a few damped GN sweeps over all poses +
+        # points brings the bootstrap to cm-level.
+        obs = [(f["ids"], f["uv"]) for f in frames]
+        pts3d = triangulate_new_tracks(R_c, t_c, obs, pts3d)
+        R_c, t_c, pts3d = bundle_adjust(R_c, t_c, obs, pts3d)
 
         # --- preintegration between consecutive frames ---------------------
         def preint(k, bg=None):

@@ -170,3 +170,165 @@ def _exp(phi):
         + np.sin(th) / th * K
         + (1 - np.cos(th)) / th**2 * (K @ K)
     )
+
+
+def _skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+def triangulate_new_tracks(R_c, t_c, obs, pts3d, min_gap=3):
+    """Triangulate tracks not yet in ``pts3d`` from their first/last views.
+
+    obs: list over frames of (ids, uv). Extends the two-view point cloud to
+    every track with enough baseline so the BA below is well constrained
+    (ref:GlobalSFM triangulates progressively the same way).
+    """
+    n = len(obs)
+    first_seen: dict = {}
+    last_seen: dict = {}
+    for k in range(n):
+        ids, uv = obs[k]
+        for j, cid in enumerate(ids):
+            if cid not in first_seen:
+                first_seen[cid] = (k, uv[j])
+            last_seen[cid] = (k, uv[j])
+    out = dict(pts3d)
+    new_ids = [
+        cid for cid in first_seen
+        if cid not in pts3d and last_seen[cid][0] - first_seen[cid][0] >= min_gap
+    ]
+    if not new_ids:
+        return out
+    for cid in new_ids:
+        k0, u0 = first_seen[cid]
+        k1, u1 = last_seen[cid]
+        X = triangulate(
+            R_c[k0], t_c[k0], R_c[k1], t_c[k1], u0[None, :], u1[None, :]
+        )[0]
+        if not np.isfinite(X).all():
+            continue
+        z0 = (R_c[k0] @ X + t_c[k0])[2]
+        z1 = (R_c[k1] @ X + t_c[k1])[2]
+        if z0 > 0.05 and z1 > 0.05:
+            out[cid] = X
+    return out
+
+
+def bundle_adjust(R_c, t_c, obs, pts3d, iters=8, huber=0.005):
+    """Windowed bundle adjustment: joint damped GN over poses + points.
+
+    The reference inherits VINS-Mono's ceres BA inside ref:initial_sfm
+    (SURVEY.md §3.4); here a dense Levenberg-style GN on the host is plenty —
+    the window is ~10 poses and a few hundred points, solved once per
+    sequence. Gauge: pose 0 is fixed and the global scale is renormalized to
+    keep ||t_last|| at its initial value (the alignment solves metric scale
+    later anyway).
+
+    R_c/t_c: lists of world->cam_k. obs: list of (ids, uv) per frame.
+    pts3d: id -> world point. Returns (R_c, t_c, pts3d) refined.
+    """
+    n = len(R_c)
+    pids = sorted(pts3d.keys())
+    pid_index = {cid: i for i, cid in enumerate(pids)}
+    m = len(pids)
+    if m < 8 or n < 2:
+        return R_c, t_c, pts3d
+    X = np.stack([pts3d[cid] for cid in pids])  # (m, 3)
+    R = [r.copy() for r in R_c]
+    t = [v.copy() for v in t_c]
+
+    # flatten observations: (frame k, point index, uv)
+    fk, pj, uv_all = [], [], []
+    for k in range(n):
+        ids, uv = obs[k]
+        for j, cid in enumerate(ids):
+            i = pid_index.get(cid)
+            if i is not None:
+                fk.append(k)
+                pj.append(i)
+                uv_all.append(uv[j])
+    fk = np.asarray(fk)
+    pj = np.asarray(pj)
+    uv_all = np.asarray(uv_all, np.float64)
+    n_obs = len(fk)
+    if n_obs < 3 * m // 2:
+        return R_c, t_c, pts3d
+
+    n_pose = 6 * (n - 1)  # pose 0 fixed (gauge)
+    dim = n_pose + 3 * m
+    gauge = np.linalg.norm(t[-1])
+    lam = 1e-4
+
+    def residuals(R, t, X):
+        Rk = np.stack([R[k] for k in fk])  # (O,3,3)
+        tk = np.stack([t[k] for k in fk])
+        pc = np.einsum("oab,ob->oa", Rk, X[pj]) + tk
+        z = np.maximum(pc[:, 2], 1e-6)
+        pred = pc[:, :2] / z[:, None]
+        r = uv_all - pred
+        return r, pc
+
+    prev_cost = np.inf
+    for _ in range(iters):
+        r, pc = residuals(R, t, X)
+        rn = np.linalg.norm(r, axis=1)
+        # Huber weights kill gross outliers without dropping rows
+        w = np.sqrt(np.minimum(1.0, huber / np.maximum(rn, 1e-12)))
+        cost = float(np.sum((w[:, None] * r) ** 2))
+
+        A = np.zeros((dim, dim))
+        g = np.zeros(dim)
+        z = np.maximum(pc[:, 2], 1e-6)
+        for o in range(n_obs):
+            k, i = int(fk[o]), int(pj[o])
+            Jp = np.array(
+                [[1 / z[o], 0, -pc[o, 0] / z[o] ** 2],
+                 [0, 1 / z[o], -pc[o, 1] / z[o] ** 2]]
+            )
+            Jx = (Jp @ R[k]) * w[o]
+            ro = r[o] * w[o]
+            oi = n_pose + 3 * i
+            cols = [oi, oi + 1, oi + 2]
+            if k > 0:
+                Jth = (Jp @ (-_skew(pc[o] - t[k]))) * w[o]
+                op = 6 * (k - 1)
+                cols = [op, op + 1, op + 2, op + 3, op + 4, op + 5] + cols
+                Jrow = np.concatenate([Jth, Jp * w[o], Jx], axis=1)  # (2, 9)
+            else:
+                Jrow = Jx  # (2, 3)
+            idx = np.asarray(cols)
+            A[np.ix_(idx, idx)] += Jrow.T @ Jrow
+            g[idx] += Jrow.T @ ro
+
+        try:
+            dx = np.linalg.solve(A + lam * np.diag(np.maximum(np.diag(A), 1e-9)), g)
+        except np.linalg.LinAlgError:
+            break
+        R_new = [R[0]] + [
+            _exp(dx[6 * (k - 1) : 6 * (k - 1) + 3]) @ R[k] for k in range(1, n)
+        ]
+        t_new = [t[0]] + [t[k] + dx[6 * (k - 1) + 3 : 6 * k] for k in range(1, n)]
+        X_new = X + dx[n_pose:].reshape(m, 3)
+        r_new, _ = residuals(R_new, t_new, X_new)
+        rn_new = np.linalg.norm(r_new, axis=1)
+        w_new = np.sqrt(np.minimum(1.0, huber / np.maximum(rn_new, 1e-12)))
+        cost_new = float(np.sum((w_new[:, None] * r_new) ** 2))
+        if cost_new < cost:
+            R, t, X = R_new, t_new, X_new
+            lam = max(lam * 0.3, 1e-7)
+            # re-fix the scale gauge
+            s = np.linalg.norm(t[-1])
+            if s > 1e-9:
+                f = gauge / s
+                t = [v * f for v in t]
+                X = X * f
+            if prev_cost - cost_new < 1e-10 * max(prev_cost, 1.0):
+                prev_cost = cost_new
+                break
+            prev_cost = cost_new
+        else:
+            lam *= 10.0
+            if lam > 1e3:
+                break
+
+    return R, t, {cid: X[pid_index[cid]] for cid in pids}

@@ -47,6 +47,59 @@ class TestAlignmentExact:
         np.testing.assert_allclose(R_wb[-1] @ v[-1], (p1 - p0) / (2 * h), atol=0.02)
 
 
+class TestBundleAdjust:
+    def test_ba_reduces_reprojection_error(self, moving_sim):
+        """BA on a noisy SfM window must cut the reprojection cost and keep
+        the gauge (pose 0 fixed, ||t_last|| preserved)."""
+        import numpy as np
+
+        from larvio_tpu.init.sfm import bundle_adjust
+
+        rng = np.random.default_rng(3)
+        n_f, n_p = 8, 60
+        pts = rng.uniform([-3, -3, 4], [3, 3, 10], (n_p, 3))
+        R_true, t_true, obs = [], [], []
+        for k in range(n_f):
+            ang = 0.03 * k
+            R = np.array(
+                [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]]
+            )
+            t = np.array([0.1 * k, 0.02 * k, 0.0])
+            R_true.append(R)
+            t_true.append(t)
+            pc = (R @ pts.T).T + t
+            uv = pc[:, :2] / pc[:, 2:3] + rng.normal(0, 5e-4, (n_p, 2))
+            obs.append((np.arange(n_p), uv))
+        # perturb poses (except 0) and points
+        R_0 = [R_true[0]] + [
+            R_true[k] @ _rot_perturb(rng, 0.02) for k in range(1, n_f)
+        ]
+        t_0 = [t_true[0]] + [t_true[k] + rng.normal(0, 0.03, 3) for k in range(1, n_f)]
+        pts3d = {i: pts[i] + rng.normal(0, 0.05, 3) for i in range(n_p)}
+
+        def cost(R_c, t_c, p3):
+            c = 0.0
+            for k in range(n_f):
+                ids, uv = obs[k]
+                X = np.stack([p3[i] for i in ids])
+                pc = (R_c[k] @ X.T).T + t_c[k]
+                c += float(np.sum((uv - pc[:, :2] / pc[:, 2:3]) ** 2))
+            return c
+
+        c0 = cost(R_0, t_0, pts3d)
+        R_b, t_b, pts_b = bundle_adjust(R_0, t_0, obs, pts3d)
+        c1 = cost(R_b, t_b, pts_b)
+        assert c1 < 0.05 * c0, (c0, c1)
+        np.testing.assert_allclose(R_b[0], R_true[0])  # gauge: pose 0 fixed
+        assert abs(np.linalg.norm(t_b[-1]) - np.linalg.norm(t_0[-1])) < 1e-6
+
+
+def _rot_perturb(rng, sigma):
+    from larvio_tpu.init.sfm import _exp
+
+    return _exp(rng.normal(0, sigma, 3))
+
+
 class TestFlexible:
     def test_dispatches_dynamic_when_moving(self, moving_sim):
         cfg, sc, sim = moving_sim
@@ -65,6 +118,48 @@ class TestFlexible:
         # gyro bias recovered to a few mrad/s
         np.testing.assert_allclose(res.bg, [0.01, -0.02, 0.015], atol=0.02)
         assert np.isfinite(res.v).all()
+
+    @pytest.mark.slow
+    def test_moving_start_ate(self, moving_sim):
+        """In-motion bootstrap accuracy gate (VERDICT r1 #3): with the BA
+        polish the moving-start run must reach ATE < 0.3 m over 10 s with no
+        resets (was 0.6-1.2 m without BA)."""
+        import jax
+
+        from larvio_tpu.api import make_frame_inputs, step
+        from larvio_tpu.data.evaluate import ate_rmse
+        from larvio_tpu.init.flexible import inject_init_result
+        from larvio_tpu.models.msckf import init_vio_state
+
+        cfg, sc, _ = moving_sim
+        sc = SimConfig(duration=10.0, static_lead_in=0.0, pixel_noise=0.001,
+                       gyro_bias=(0.01, -0.02, 0.015))
+        data = Simulator(sc, cfg).generate()
+        vs = init_vio_state(cfg)
+        flex = FlexibleInitializer(cfg, window=15, min_parallax=0.12)
+        outs = []
+        for k in range(len(data["t_img"])):
+            feats, imu = make_frame_inputs(data, k)
+            vs, out = step(cfg, vs, feats, imu)
+            if flex is not None and not bool(out.initialized):
+                flex.push(
+                    data["t_img"][k], data["ids"][k], data["uv"][k], data["fvalid"][k],
+                    data["imu_t"][k], data["imu_w"][k], data["imu_a"][k],
+                    data["imu_valid"][k],
+                )
+                res = flex.try_init()
+                if res is not None and res.mode == "dynamic":
+                    vs = inject_init_result(cfg, vs, res)
+                    flex = None
+            elif flex is not None:
+                flex = None
+            outs.append(jax.tree.map(np.asarray, out))
+        p = np.stack([o.p for o in outs])
+        m = np.array([bool(o.initialized) for o in outs])
+        assert m.sum() > 150  # initialized within ~2.5 s
+        assert sum(int(o.did_reset) for o in outs) == 0
+        ate = ate_rmse(p[m], data["gt_p"][m])
+        assert ate < 0.3, f"moving-start ATE {ate:.3f} m"
 
     def test_dispatches_static_when_still(self):
         cfg = VioConfig()

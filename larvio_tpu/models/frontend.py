@@ -202,9 +202,15 @@ def track_frame(
     ).reshape(n_cells, -1)
 
     cand_ok = (scores > fcfg.fast_threshold) & ~near_track
-    # per-cell quota: fill up to grid_max (counting survivors)
+    # per-cell quota (ref:addNewFeatures semantics): a cell is replenished
+    # only when it has dropped below grid_min_feature_num survivors, and is
+    # then topped up to grid_max_feature_num — well-populated cells are left
+    # alone, which keeps detection churn away from stable tracks
     rank_in_cell = jnp.cumsum(cand_ok.astype(jnp.int32), axis=1) - 1
-    quota = jnp.maximum(fcfg.grid_max_feature_num - occupancy, 0)
+    need = occupancy < fcfg.grid_min_feature_num
+    quota = jnp.where(
+        need, jnp.maximum(fcfg.grid_max_feature_num - occupancy, 0), 0
+    )
     cand_ok = cand_ok & (rank_in_cell < quota[:, None])
 
     cand_xy_flat = cand_xy.reshape(-1, 2)

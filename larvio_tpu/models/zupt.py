@@ -65,9 +65,14 @@ def zupt_update(cfg: VioConfig, fs: FilterState, stationary: jnp.ndarray) -> Fil
     dtype = fs.P.dtype
     fcfg = cfg.filter
 
-    frame = jnp.where(fs.clones.valid, fs.clones.frame, -1)
+    # zupt_update runs after this frame's augmentation, so the clone just
+    # copied from the current state has residual identically zero with perfect
+    # correlation (vacuous rows). Constrain against the newest clone from a
+    # PREVIOUS frame instead (ADVICE r1).
+    prior = fs.clones.valid & (fs.clones.frame < fs.frame)
+    frame = jnp.where(prior, fs.clones.frame, -1)
     newest = jnp.argmax(frame)
-    has_clone = jnp.any(fs.clones.valid)
+    has_clone = jnp.any(prior)
     enable = stationary & has_clone
 
     q_c = fs.clones.q[newest]

@@ -22,18 +22,78 @@ import time
 import numpy as np
 
 
-def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None, init_mode="auto"):
-    """Host loop: one jitted pipeline step per frame (streaming mode).
+def _prefetch(frame_iter, depth: int = 4):
+    """Decode-ahead: run the frame iterator (PNG decode, IMU bucketing) in a
+    background thread so host I/O overlaps the device step (SURVEY.md §3.1
+    rebuild note). Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for x in frame_iter:
+                q.put(x)
+            q.put(END)
+        except BaseException as e:  # re-raised on the consuming side
+            q.put(("__prefetch_error__", e))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        x = q.get()
+        if x is END:
+            return
+        if isinstance(x, tuple) and len(x) == 2 and x[0] == "__prefetch_error__":
+            raise x[1]
+        yield x
+
+
+def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None,
+                   init_mode="auto", chunk: int = 1):
+    """Host loop: jitted pipeline steps over a frame stream (streaming mode).
 
     init_mode: "static" keeps only the on-device static initializer;
     "auto"/"dynamic" additionally run the host-side FlexibleInitializer
     (VINS-style SfM + alignment) and inject its result for in-motion starts.
+
+    chunk: frames per device dispatch. 1 = live semantics (one call per
+    frame). K>1 batches K frames into one on-device ``lax.scan`` call after
+    initialization — amortizes per-call dispatch latency (decisive when the
+    device sits behind a network tunnel) at the cost of K frames of output
+    latency; for offline dataset processing that trade is free.
     """
     import jax
     import jax.numpy as jnp
 
+    frame_iter = _prefetch(frame_iter)
+
+    from functools import partial
+
     from larvio_tpu.models.propagation import ImuBatch
-    from larvio_tpu.pipeline import FrameInput, init_pipeline_state, jit_pipeline_step
+    from larvio_tpu.pipeline import (
+        FrameInput,
+        init_pipeline_state,
+        jit_pipeline_step,
+        pipeline_step,
+    )
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def run_chunk(cfg, ps, frames):
+        return jax.lax.scan(lambda c, f: pipeline_step(cfg, c, f), ps, frames)
+
+    def to_frame(fr):
+        return FrameInput(
+            image=jnp.asarray(fr["image"]),
+            imu=ImuBatch(
+                t=jnp.asarray(fr["imu_t"]),
+                w=jnp.asarray(fr["imu_w"]),
+                a=jnp.asarray(fr["imu_a"]),
+                valid=jnp.asarray(fr["imu_valid"]),
+            ),
+            t=jnp.asarray(fr["t_img"]),
+        )
 
     ps = init_pipeline_state(cfg)
     flex = None
@@ -41,27 +101,41 @@ def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None, init_mode
         from larvio_tpu.init import FlexibleInitializer
 
         flex = FlexibleInitializer(cfg, window=15, min_parallax=0.12)
-    traj = []
-    stats = []
+    outs_all = []  # per-frame StepOutput pytrees (device arrays)
     t_start = None
     n = 0
+    n_chunks = 0
+    initialized = False
+    pending = []
     prof = None
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
         prof = profile_dir
     try:
         for fr in frame_iter:
-            frame = FrameInput(
-                image=jnp.asarray(fr["image"]),
-                imu=ImuBatch(
-                    t=jnp.asarray(fr["imu_t"]),
-                    w=jnp.asarray(fr["imu_w"]),
-                    a=jnp.asarray(fr["imu_a"]),
-                    valid=jnp.asarray(fr["imu_valid"]),
-                ),
-                t=jnp.asarray(fr["t_img"]),
-            )
+            if initialized and chunk > 1:
+                pending.append(fr)
+                if len(pending) == chunk:
+                    frames = jax.tree.map(
+                        lambda *xs: jnp.stack(xs), *[to_frame(f) for f in pending]
+                    )
+                    first_chunk = n_chunks == 0
+                    ps, outs = run_chunk(cfg, ps, frames)
+                    n_chunks += 1
+                    outs_all.append(outs)
+                    n += len(pending)
+                    pending = []
+                    if first_chunk:
+                        # the chunk executable compiles on this call — restart
+                        # the fps clock so the number reports steady state
+                        # (the per-frame path excludes its compile the same way)
+                        jax.block_until_ready(outs.p)
+                        t_start = time.perf_counter()
+                        n_timed0 = n
+                continue
+            frame = to_frame(fr)
             ps, out = jit_pipeline_step(cfg, ps, frame)
+            outs_all.append(jax.tree.map(lambda a: a[None], out))
             n += 1
             if flex is not None and not bool(out.initialized):
                 # feed the host initializer from the tracker's current table
@@ -81,35 +155,64 @@ def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None, init_mode
                     flex = None
             elif flex is not None:
                 flex = None  # on-device static init won the race
+            initialized = bool(out.initialized)
             if t_start is None:
                 jax.block_until_ready(out.p)
                 t_start = time.perf_counter()
                 n_timed0 = n
-            traj.append((out.t, out.p, out.q, out.initialized))
-            stats.append((out.n_tracks, out.n_clones, out.n_updated, out.stationary, out.did_reset))
-        jax.block_until_ready(traj[-1][1])
+        # drain the partial tail chunk per-frame
+        for fr in pending:
+            ps, out = jit_pipeline_step(cfg, ps, to_frame(fr))
+            outs_all.append(jax.tree.map(lambda a: a[None], out))
+            n += 1
+        jax.block_until_ready(outs_all[-1].p)
     finally:
         if prof:
             jax.profiler.stop_trace()
     wall = time.perf_counter() - t_start if t_start else 0.0
     fps = (n - n_timed0) / wall if wall > 0 else 0.0
 
-    t = np.array([float(x[0]) for x in traj])
-    p = np.stack([np.asarray(x[1]) for x in traj])
-    q = np.stack([np.asarray(x[2]) for x in traj])
-    init = np.array([bool(x[3]) for x in traj])
+    outs = jax.tree.map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *outs_all
+    )
+    t, p, q, init = outs.t, outs.p, outs.q, outs.initialized.astype(bool)
     stats = {
-        "tracks": np.array([int(s[0]) for s in stats]),
-        "clones": np.array([int(s[1]) for s in stats]),
-        "updated": np.array([int(s[2]) for s in stats]),
-        "zupt": np.array([bool(s[3]) for s in stats]),
-        "resets": np.array([bool(s[4]) for s in stats]),
+        "tracks": outs.n_tracks.astype(int),
+        "clones": outs.n_clones.astype(int),
+        "updated": outs.n_updated.astype(int),
+        "zupt": outs.stationary.astype(bool),
+        "resets": outs.did_reset.astype(bool),
     }
     if checkpoint:
         from larvio_tpu.utils.checkpoint import save_state
 
         save_state(checkpoint, ps)
-    return t, p, q, init, stats, fps
+    return t, p, q, init, stats, fps, ps
+
+
+def _tee_last(frame_iter, sink: dict):
+    """Pass frames through, remembering the last one (for the plot overlay)."""
+    for fr in frame_iter:
+        sink["frame"] = fr
+        yield fr
+
+
+def _write_plot(args, cfg, t, p, init, stats, ps, gt=None, last_frame=None):
+    from larvio_tpu.data.visualize import plot_run
+
+    kw = {}
+    if last_frame:
+        kw["frame"] = np.asarray(last_frame["frame"]["image"])
+        kw["frame_pts"] = np.asarray(ps.tracker.pos)
+        kw["frame_valid"] = np.asarray(ps.tracker.valid)
+    m = init
+    plot_run(
+        args.plot, t[m], p[m],
+        gt_p=gt[m] if gt is not None else None,
+        stats={k: v[m] for k, v in stats.items()},
+        title=f"larvio_tpu ({args.cmd})", **kw,
+    )
+    print(f"plot -> {args.plot}")
 
 
 def cmd_run(args):
@@ -119,12 +222,17 @@ def cmd_run(args):
 
     cfg = VioConfig() if args.config == "-" else load_yaml(args.config)
     seq = EurocSequence(args.dataset)
-    t, p, q, init, stats, fps = _run_streaming(
+    last_frame = {}
+    frames = seq.frames(cfg, max_frames=args.max_frames)
+    if args.plot:
+        frames = _tee_last(frames, last_frame)
+    t, p, q, init, stats, fps, ps = _run_streaming(
         cfg,
-        seq.frames(cfg, max_frames=args.max_frames),
+        frames,
         profile_dir=args.profile,
         checkpoint=args.checkpoint,
         init_mode=args.init,
+        chunk=args.chunk,
     )
     m = init
     write_tum(args.out, t[m], p[m], q[m])
@@ -143,11 +251,17 @@ def cmd_run(args):
     print(f"frames={len(t)} fps={fps:.1f} tracks~{stats['tracks'][m].mean():.0f} "
           f"zupt={int(stats['zupt'].sum())} resets={int(stats['resets'].sum())}")
     print(f"trajectory -> {args.out}")
+    gt_full = None
     if args.eval and seq.gt is not None:
         from larvio_tpu.data.evaluate import ate_rmse
 
         gt = seq.ground_truth_at(t[m])
         print(f"ATE RMSE vs ground truth: {ate_rmse(p[m], gt):.4f} m")
+    if args.plot:
+        if seq.gt is not None:
+            gt_full = seq.ground_truth_at(t)
+        _write_plot(args, cfg, t, p, init, stats, ps, gt=gt_full,
+                    last_frame=last_frame)
     return 0
 
 
@@ -182,11 +296,18 @@ def cmd_sim(args):
                 "t_img": data["t_img"][k],
             }
 
-    t, p, q, init, stats, fps = _run_streaming(cfg, frame_iter(), profile_dir=args.profile)
+    last_frame = {}
+    frames = frame_iter()
+    if args.plot:
+        frames = _tee_last(frames, last_frame)
+    t, p, q, init, stats, fps, ps = _run_streaming(cfg, frames, profile_dir=args.profile)
     write_tum(args.out, t[init], p[init], q[init])
     print(f"frames={len(t)} fps={fps:.1f} tracks~{stats['tracks'][init].mean():.0f}")
     if args.eval:
         print(f"ATE RMSE: {ate_rmse(p[init], data['gt_p'][init]):.4f} m")
+    if args.plot:
+        _write_plot(args, cfg, t, p, init, stats, ps, gt=data["gt_p"],
+                    last_frame=last_frame)
     return 0
 
 
@@ -221,6 +342,11 @@ def main(argv=None):
                     help="initialization: on-device static only, or host dynamic too")
     rp.add_argument("--metrics", default=None,
                     help="write per-frame metrics CSV (tracks, clones, updates, zupt, resets)")
+    rp.add_argument("--plot", default=None,
+                    help="write a run-summary PNG (trajectory, error, health, feature overlay)")
+    rp.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (K>1: on-device scan per "
+                         "chunk — amortizes dispatch latency for offline runs)")
     rp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("sim", help="synthetic rendered sequence (no dataset needed)")
@@ -228,6 +354,8 @@ def main(argv=None):
     sp.add_argument("--out", default="trajectory.txt")
     sp.add_argument("--eval", action="store_true")
     sp.add_argument("--profile", default=None)
+    sp.add_argument("--plot", default=None,
+                    help="write a run-summary PNG (trajectory, error, health, feature overlay)")
     sp.set_defaults(fn=cmd_sim)
 
     ep = sub.add_parser(

@@ -89,7 +89,10 @@ class EurocSequence:
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise FileNotFoundError(path)
-        return img.astype(np.float32)
+        # keep uint8: the streaming path ships this to the device (possibly
+        # over a network tunnel) — 4x less traffic than f32; the pipeline
+        # casts on device (pipeline_step)
+        return img
 
     def frames(self, cfg: VioConfig, max_frames: Optional[int] = None,
                skip_frames: int = 0) -> Iterator[dict]:

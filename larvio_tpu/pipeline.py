@@ -41,9 +41,12 @@ def init_pipeline_state(cfg: VioConfig, dtype=jnp.float32) -> PipelineState:
 
 
 def pipeline_step(cfg: VioConfig, ps: PipelineState, frame: FrameInput) -> Tuple[PipelineState, StepOutput]:
+    # images may arrive as uint8 (host decode ships 1 byte/px over the
+    # host->device link; the cast to f32 happens here, on device)
+    image = frame.image.astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
         tracker, feats = track_frame(
-            cfg, ps.tracker, frame.image, frame.imu, frame.t, ps.vio.filter.bg
+            cfg, ps.tracker, image, frame.imu, frame.t, ps.vio.filter.bg
         )
         vio, out = filter_step(cfg, ps.vio, feats, frame.imu)
     return PipelineState(tracker=tracker, vio=vio), out
@@ -62,3 +65,73 @@ def run_image_sequence(cfg: VioConfig, ps: PipelineState, frames: FrameInput):
         return pipeline_step(cfg, carry, frame)
 
     return jax.lax.scan(body, ps, frames)
+
+
+def run_image_sequence_flexible(
+    cfg: VioConfig,
+    ps: PipelineState,
+    frames: FrameInput,
+    max_init_frames: int = 128,
+    init_chunk: int = 32,
+):
+    """Two-phase scan driver with FLEXIBLE initialization (VERDICT r1 #6).
+
+    The pure ``run_image_sequence`` scan only carries the on-device static
+    initializer — in-motion starts (V2_03-style) never initialize there. This
+    driver streams jitted per-frame steps while feeding the host
+    FlexibleInitializer (VINS-style SfM + alignment, init/flexible.py); as
+    soon as the filter is initialized (static on-device OR dynamic injected)
+    it hands the carry to ONE ``lax.scan`` over the remaining frames. The
+    handoff index is rounded down to a multiple of ``init_chunk`` frames
+    already processed, bounding recompiles to len/init_chunk distinct tail
+    lengths.
+
+    Returns (final PipelineState, StepOutput arrays over ALL frames).
+    """
+    import numpy as np
+
+    from larvio_tpu.init import FlexibleInitializer
+    from larvio_tpu.init.flexible import inject_init_result
+
+    T = int(frames.t.shape[0])
+    flex = FlexibleInitializer(cfg, window=15, min_parallax=0.12)
+    outs_head = []
+    k = 0
+    while k < min(max_init_frames, T):
+        frame = jax.tree.map(lambda a: a[k], frames)
+        ps, out = jit_pipeline_step(cfg, ps, frame)
+        outs_head.append(out)
+        k += 1
+        if bool(out.initialized):
+            break
+        tr = ps.tracker
+        flex.push(
+            float(frame.t), np.asarray(tr.ids), np.asarray(tr.uv_norm),
+            np.asarray(tr.valid), np.asarray(frame.imu.t), np.asarray(frame.imu.w),
+            np.asarray(frame.imu.a), np.asarray(frame.imu.valid),
+        )
+        res = flex.try_init()
+        if res is not None and res.mode == "dynamic":
+            ps = ps.replace(vio=inject_init_result(cfg, ps.vio, res))
+            break
+        # keep streaming until the handoff index is chunk-aligned
+    # align the handoff so tail lengths come from a small set
+    while k < T and (T - k) % init_chunk != 0:
+        frame = jax.tree.map(lambda a: a[k], frames)
+        ps, out = jit_pipeline_step(cfg, ps, frame)
+        outs_head.append(out)
+        k += 1
+
+    if k >= T:
+        outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_head)
+        return ps, outs
+    tail = jax.tree.map(lambda a: a[k:], frames)
+    ps, outs_tail = run_image_sequence(cfg, ps, tail)
+    if outs_head:
+        head = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_head)
+        outs = jax.tree.map(
+            lambda h, tl: jnp.concatenate([h, tl], axis=0), head, outs_tail
+        )
+    else:
+        outs = outs_tail
+    return ps, outs

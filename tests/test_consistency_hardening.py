@@ -1,0 +1,230 @@
+"""Consistency hardening (VERDICT r1 #8): observability of the OC-Phi fix-up,
+Monte-Carlo NEES over seeds, and the prune-row elimination invariant.
+
+These pin the subtle numerics VERDICT r1 flagged as under-tested: the FEJ
+fix-up in propagation.py (where FEJ bugs hide), the statistical consistency
+of the reported covariance across many runs, and the hardcoded "row 3" of the
+prune blocks in msckf._marginalization_blocks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from larvio_tpu.config import VioConfig, FilterConfig, FrontendConfig
+from larvio_tpu.core.quaternion import quat_to_rotation
+from larvio_tpu.core.so3 import skew as _skew_jnp
+from larvio_tpu.models.propagation import _phi_and_Q, _rk4_nominal
+
+
+def _skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+def _nullspace(q, v, p, g_w):
+    """Unobservable directions of the 15-dof IMU error state.
+
+    Columns: 3 global-position, 1 global-yaw (rotation about gravity).
+    JPL left-error convention (R_true = (I - [dtheta]x) R_hat):
+      yaw: dtheta = R_wi g,  dv = -[v]x g,  dp = -[p]x g.
+    """
+    R = np.asarray(quat_to_rotation(jnp.asarray(q)))
+    N = np.zeros((15, 4))
+    N[12:15, 0:3] = np.eye(3)
+    N[0:3, 3] = R @ g_w
+    N[6:9, 3] = -_skew(np.asarray(v)) @ g_w
+    N[12:15, 3] = -_skew(np.asarray(p)) @ g_w
+    return N
+
+
+class TestObservability:
+    def _propagate_window(self, cfg, n_steps=12, seed=0):
+        """Random-motion propagation; returns per-step (Phi, null_in, est_out)."""
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray([0.1, -0.05, 0.2, 0.97]) / jnp.linalg.norm(
+            jnp.asarray([0.1, -0.05, 0.2, 0.97])
+        )
+        v = jnp.asarray([0.4, -0.2, 0.1], jnp.float32)
+        p = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+        # FEJ nulls deliberately OFFSET from the estimates (the post-update
+        # situation where naive Phi leaks spurious yaw information)
+        qn = q + jnp.asarray([0.004, -0.003, 0.002, 0.0])
+        qn = qn / jnp.linalg.norm(qn)
+        vn = v + jnp.asarray([0.03, -0.02, 0.01])
+        pn = p + jnp.asarray([0.02, 0.01, -0.03])
+        dt = 0.01
+        steps = []
+        for _ in range(n_steps):
+            w = jnp.asarray(rng.normal(0, 0.4, 3), jnp.float32)
+            a = jnp.asarray(rng.normal(0, 1.0, 3) + [0, 0, 9.81], jnp.float32)
+            q2, v2, p2 = _rk4_nominal(q, v, p, w, a, w, a, dt, cfg.gravity)
+            Phi, _ = _phi_and_Q(
+                cfg, q, q2, v, v2, p, p2, qn, vn, pn, w, a, dt, jnp.float32
+            )
+            steps.append((np.asarray(Phi), (qn, vn, pn), (q2, v2, p2)))
+            # nulls for the next step are this step's estimates (propagation
+            # convention: nulls lag by exactly the update corrections)
+            q, v, p = q2, v2, p2
+            qn, vn, pn = q2, v2, p2
+        return steps
+
+    def test_oc_phi_preserves_unobservable_subspace(self):
+        """With the fix-up, Phi maps N(null_k) exactly onto N(est_{k+1}) —
+        zero spurious information on yaw and global position."""
+        cfg = VioConfig()
+        g_w = np.array([0.0, 0.0, -cfg.gravity])
+        steps = self._propagate_window(cfg)
+        worst = 0.0
+        for Phi, (qn, vn, pn), (q2, v2, p2) in steps:
+            N_in = _nullspace(qn, vn, pn, g_w)
+            N_out = _nullspace(q2, v2, p2, g_w)
+            err = np.abs(Phi @ N_in - N_out).max()
+            worst = max(worst, err)
+        assert worst < 5e-5, f"OC-Phi leaks information: {worst:.2e}"
+
+    def test_naive_phi_leaks_information(self):
+        """Sanity that the test has teeth: without the fix-up the same
+        propagation does NOT preserve the subspace (the classic FEJ leak)."""
+        cfg = VioConfig(filter=FilterConfig(use_fej=False))
+        g_w = np.array([0.0, 0.0, -cfg.gravity])
+        steps = self._propagate_window(cfg)
+        worst = 0.0
+        for Phi, (qn, vn, pn), (q2, v2, p2) in steps:
+            N_in = _nullspace(qn, vn, pn, g_w)
+            N_out = _nullspace(q2, v2, p2, g_w)
+            worst = max(worst, np.abs(Phi @ N_in - N_out).max())
+        assert worst > 1e-3, f"expected a leak without OC fix-up, got {worst:.2e}"
+
+
+class TestPruneRowInvariant:
+    def test_single_surviving_row_matches_dense_projection(self, rng):
+        """msckf._marginalization_blocks keeps only row 3 of each prune block
+        (2 pruned clones x 2 rows, 3 columns eliminated -> exactly one
+        surviving row). Pin that against a dense numpy left-nullspace
+        projection of the same unpadded Jacobian."""
+        from larvio_tpu.models.state import init_filter_state, state_dim
+        from larvio_tpu.models.update import _project_jacobian, feature_block
+
+        cfg = VioConfig(
+            filter=FilterConfig(max_clones=6, max_slam_features=0,
+                                max_update_features=2, max_prune_features=2),
+            frontend=FrontendConfig(max_features=8),
+        )
+        C = 6
+        D = state_dim(cfg)
+        for trial in range(5):
+            fs = init_filter_state(cfg)
+            p_cl = rng.normal(0, 0.4, (C, 3)).astype(np.float32)
+            p_cl[:, 0] += np.linspace(0, 1.0, C)
+            fs = fs.replace(
+                initialized=jnp.asarray(True),
+                clones=fs.clones.replace(
+                    valid=jnp.ones(C, bool), frame=jnp.arange(C, dtype=jnp.int32),
+                    p=jnp.asarray(p_cl), p_null=jnp.asarray(p_cl),
+                    q_null=fs.clones.q,
+                ),
+            )
+            p_w = np.array([0.3, -0.2, 6.0], np.float32) + rng.normal(0, 0.5, 3).astype(np.float32)
+            R_ci = np.asarray(quat_to_rotation(fs.q_ci))
+            t_ci = np.asarray(fs.t_ci)
+            uv = np.zeros((C, 2), np.float32)
+            for j in range(C):
+                pc = R_ci @ (p_w - p_cl[j]) + t_ci
+                uv[j] = pc[:2] / pc[2] + rng.normal(0, 1e-3, 2)
+            # prune rows: clones 0 and 1 only (the 2 pruned slots)
+            row_mask = np.zeros(C, bool)
+            row_mask[:2] = True
+            blk = feature_block(
+                cfg, fs, jnp.asarray(p_w), jnp.asarray(uv),
+                jnp.asarray(row_mask), jnp.asarray(True),
+            )
+            H = np.asarray(blk.H)  # (2C, D)
+            r = np.asarray(blk.r)
+            # rows other than 3 carry nothing
+            others = np.delete(np.arange(2 * C), 3)
+            assert np.abs(H[others]).max() < 1e-5 * max(np.abs(H).max(), 1e-9)
+            assert np.abs(r[others]).max() < 1e-5 * max(np.abs(r).max(), 1e-9)
+
+            # dense reference: unpadded 4-row Jacobian, left-null of H_f
+            H_x, H_f, r_d = _project_jacobian(
+                cfg, fs, jnp.asarray(p_w), jnp.asarray(uv), jnp.asarray(row_mask)
+            )
+            H_x = np.asarray(H_x)[:4]  # rows of clones 0,1
+            H_f = np.asarray(H_f)[:4]
+            r_d = np.asarray(r_d)[:4]
+            # 1-dim left nullspace of (4,3) H_f
+            u_, s_, vt_ = np.linalg.svd(H_f)
+            n = u_[:, 3]  # exact left-null (smallest singular direction)
+            H_ref = n @ H_x  # (D,)
+            r_ref = n @ r_d
+            got = H[3]
+            # same 1-D subspace up to sign: align and compare
+            sign = np.sign(got @ H_ref) or 1.0
+            scale = np.linalg.norm(got) / max(np.linalg.norm(H_ref), 1e-12)
+            # Householder row is unit-norm-transformed: scales must agree
+            assert abs(scale - 1.0) < 1e-3, scale
+            np.testing.assert_allclose(got, sign * H_ref, atol=2e-4)
+            np.testing.assert_allclose(r[3], sign * r_ref, atol=2e-4)
+
+
+@pytest.mark.slow
+class TestMonteCarloNees:
+    def test_position_velocity_nees_over_seeds(self):
+        """20-seed Monte-Carlo NEES: the reported covariance must explain the
+        errors on average (no systematic overconfidence), run as ONE vmapped
+        fleet batch — also exercising the fleet path with heterogeneous data."""
+        from larvio_tpu.api import make_frame_inputs
+        from larvio_tpu.config import NoiseConfig
+        from larvio_tpu.data.sim import SimConfig, Simulator
+        from larvio_tpu.parallel.fleet import init_fleet_state, run_fleet_sequence
+
+        # calibration requires the MODELED noise to roughly match the
+        # SIMULATED noise (the production default observation_noise=0.035 is
+        # deliberately conservative vs the sim's 0.002 — that alone puts NEES
+        # at (0.002/0.035)^2 ~ 0.003 without any filter bug). 0.005 keeps a
+        # small safety factor: exactly-matched noise (0.002) makes the f32
+        # update fragile — see the collapse-reset guard in msckf.py.
+        cfg = VioConfig(noise=NoiseConfig(observation_noise=0.005))
+        N_SEEDS = 20
+        datas = [
+            Simulator(
+                SimConfig(duration=10.0, pixel_noise=0.002, gyro_noise=0.005,
+                          acc_noise=0.05, seed=s),
+                cfg,
+            ).generate()
+            for s in range(N_SEEDS)
+        ]
+        stacked = {
+            k: np.stack([d[k] for d in datas], axis=1) for k in datas[0]
+        }  # (T, B, ...)
+        feats, imu = make_frame_inputs(stacked)
+        vs = init_fleet_state(cfg, N_SEEDS)
+        vs, outs = run_fleet_sequence(cfg, vs, feats, imu)
+        outs = jax.tree.map(np.asarray, outs)
+
+        m = outs.initialized.astype(bool)  # (T, B)
+        gt = stacked["gt_p"]  # (T, B, 3)
+        # steady state only (skip the post-init transient)
+        t0 = 5 * 20
+        sel = m.copy()
+        sel[:t0] = False
+
+        # position: global position is UNOBSERVABLE, so its reported variance
+        # grows with time while the true error random-walks much more slowly
+        # over 10 s — position NEES << 1 is expected and correct. The gate
+        # here is one-sided: no overconfidence.
+        err_p = outs.p - gt
+        nees_p = (err_p**2 / np.maximum(outs.p_std, 1e-6) ** 2)[sel].mean(axis=0)
+        assert np.all(nees_p < 3.0), nees_p
+
+        # velocity: observable — the covariance must actually calibrate here.
+        # ground-truth velocity by central differences of gt positions (20 Hz,
+        # smooth trajectory: fd error ~1e-3 m/s, well below v_std)
+        t = stacked["t_img"]  # (T, B)
+        gt_v = np.gradient(gt, axis=0) / np.gradient(t, axis=0)[..., None]
+        err_v = outs.v - gt_v
+        nees_v = (err_v**2 / np.maximum(outs.v_std, 1e-6) ** 2)[sel].mean(axis=0)
+        assert np.all(nees_v < 3.0), nees_v
+        assert np.all(nees_v > 0.05), nees_v  # not absurdly inflated either
+        assert np.all(np.isfinite(outs.p))

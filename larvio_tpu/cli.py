@@ -328,6 +328,13 @@ def cmd_export(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="larvio_tpu", description=__doc__)
+    ap.add_argument(
+        "--debug-nans", action="store_true",
+        help="sanitizer mode (SURVEY.md §5): jax_debug_nans raises at the "
+             "first op producing NaN/Inf with a traceback into the pipeline "
+             "stage (named_scope regions), instead of the runtime containment "
+             "path absorbing it; much slower — debugging only",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     rp = sub.add_parser("run", help="run a EuRoC-format sequence")
@@ -369,6 +376,10 @@ def main(argv=None):
     ep.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     return args.fn(args)
 
 

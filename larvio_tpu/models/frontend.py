@@ -112,8 +112,11 @@ def track_frame(
     dtype = image.dtype
     H, W = image.shape
 
-    pyr = tuple(build_pyramid(image, fcfg.pyramid_levels))
-    grad_pyr = make_grad_pyramid(list(ts.prev_pyr))
+    # jax.named_scope regions label the profiler trace per pipeline stage
+    # (SURVEY.md §5 tracing plan; the reference prints per-stage wall-clock)
+    with jax.named_scope("fe.pyramid"):
+        pyr = tuple(build_pyramid(image, fcfg.pyramid_levels))
+        grad_pyr = make_grad_pyramid(list(ts.prev_pyr))
 
     # ---- gyro-predicted LK tracking ----------------------------------------
     R_ii = _gyro_cam_rotation(imu, ts.prev_time, t_img, bg)
@@ -128,31 +131,32 @@ def track_frame(
     guess = _predict_positions(cfg, ts.pos, can_track, R_cc)
     from larvio_tpu.ops.lk_pallas import lk_track_pallas, pallas_available
 
-    if fcfg.use_pallas_lk and pallas_available():
-        lk = lk_track_pallas(
-            ts.prev_pyr,
-            pyr,
-            tuple(g[0] for g in grad_pyr),
-            tuple(g[1] for g in grad_pyr),
-            ts.pos,
-            guess,
-            can_track,
-            patch=fcfg.patch_size,
-            iters=fcfg.max_iteration,
-            precision=fcfg.track_precision,
-        )
-    else:
-        lk = lk_track(
-            list(ts.prev_pyr),
-            list(pyr),
-            grad_pyr,
-            ts.pos,
-            guess,
-            can_track,
-            patch=fcfg.patch_size,
-            iters=fcfg.max_iteration,
-            precision=fcfg.track_precision,
-        )
+    with jax.named_scope("fe.lk"):
+        if fcfg.use_pallas_lk and pallas_available():
+            lk = lk_track_pallas(
+                ts.prev_pyr,
+                pyr,
+                tuple(g[0] for g in grad_pyr),
+                tuple(g[1] for g in grad_pyr),
+                ts.pos,
+                guess,
+                can_track,
+                patch=fcfg.patch_size,
+                iters=fcfg.max_iteration,
+                precision=fcfg.track_precision,
+            )
+        else:
+            lk = lk_track(
+                list(ts.prev_pyr),
+                list(pyr),
+                grad_pyr,
+                ts.pos,
+                guess,
+                can_track,
+                patch=fcfg.patch_size,
+                iters=fcfg.max_iteration,
+                precision=fcfg.track_precision,
+            )
 
     # ---- two-point RANSAC ---------------------------------------------------
     # (the ORB descriptor gate runs after replenishment on the final feature
@@ -164,23 +168,25 @@ def track_frame(
     key = jax.random.PRNGKey(0)
     key = jax.random.fold_in(key, (t_img * 1e4).astype(jnp.int32))
     fu = cfg.camera.intrinsics[0]
-    rr = two_point_ransac(
-        ts.uv_norm,
-        uvn_curr,
-        R_cc,
-        tracked,
-        key,
-        threshold=fcfg.ransac_threshold / fu,
-        n_hyp=fcfg.ransac_hypotheses,
-    )
+    with jax.named_scope("fe.ransac"):
+        rr = two_point_ransac(
+            ts.uv_norm,
+            uvn_curr,
+            R_cc,
+            tracked,
+            key,
+            threshold=fcfg.ransac_threshold / fu,
+            n_hyp=fcfg.ransac_hypotheses,
+        )
     tracked = tracked & rr.inliers
 
     # ---- grid replenishment --------------------------------------------------
-    resp = nms(shi_tomasi_response(image), radius=fcfg.min_distance // 2)
-    scores, cand_xy = grid_topk(
-        resp, fcfg.grid_rows, fcfg.grid_cols, fcfg.grid_max_feature_num,
-        border=max(fcfg.patch_size, 18),  # ORB needs a 17px margin to survive
-    )  # (cells, k), (cells, k, 2)
+    with jax.named_scope("fe.detect"):
+        resp = nms(shi_tomasi_response(image), radius=fcfg.min_distance // 2)
+        scores, cand_xy = grid_topk(
+            resp, fcfg.grid_rows, fcfg.grid_cols, fcfg.grid_max_feature_num,
+            border=max(fcfg.patch_size, 18),  # ORB needs a 17px margin
+        )  # (cells, k), (cells, k, 2)
     n_cells = fcfg.grid_rows * fcfg.grid_cols
 
     # cell of each surviving track
@@ -252,7 +258,8 @@ def track_frame(
     from larvio_tpu.ops.orb import hamming
     from larvio_tpu.ops.image import in_bounds as _inb
 
-    desc_now = describe(image, pos, valid)
+    with jax.named_scope("fe.orb"):
+        desc_now = describe(image, pos, valid)
     margin_ok = _inb(pos, (H, W), margin=17.0)
     dist = hamming(desc_now, ts.desc)
     desc_ok = (dist <= fcfg.orb_distance_threshold) & margin_ok

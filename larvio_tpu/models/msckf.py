@@ -223,10 +223,11 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     inited = fs_init.initialized
 
     # ---- 2. propagation ---------------------------------------------------
-    fs_prop = propagate(cfg, fs_init, imu, feats.t)
-    fs = jax.tree.map(
-        lambda a, b: jnp.where(inited, a, b), fs_prop, fs_init
-    )
+    with jax.named_scope("filt.propagate"):
+        fs_prop = propagate(cfg, fs_init, imu, feats.t)
+        fs = jax.tree.map(
+            lambda a, b: jnp.where(inited, a, b), fs_prop, fs_init
+        )
 
     # ---- 3. ZUPT detection ------------------------------------------------
     n_tracked = jnp.sum(feats.valid)
@@ -239,16 +240,19 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     do_prune = (n_clones >= C) & inited
     slot_a, slot_b = prune_mod.select_redundant(cfg, fs)
     D = state_dim(cfg)
-    H_stack, r_stack, n_accepted, dead_rows = _marginalization_blocks(
-        cfg, fs, feats, slot_a, slot_b, do_prune
-    )
-    # note: vision updates stay ON during detected standstill — chi2 gating
-    # makes them harmless when truly stationary, and they are the correcting
-    # information when the stationarity detector false-positives at slow speed
-    do_update = inited & (n_accepted > 0)
-    fs, _ = apply_update(
-        cfg, fs, H_stack, r_stack, cfg.noise.observation_noise**2, enable=do_update
-    )
+    with jax.named_scope("filt.marginalize"):
+        H_stack, r_stack, n_accepted, dead_rows = _marginalization_blocks(
+            cfg, fs, feats, slot_a, slot_b, do_prune
+        )
+        # note: vision updates stay ON during detected standstill — chi2
+        # gating makes them harmless when truly stationary, and they are the
+        # correcting information when the detector false-positives at slow
+        # speed
+        do_update = inited & (n_accepted > 0)
+        fs, _ = apply_update(
+            cfg, fs, H_stack, r_stack, cfg.noise.observation_noise**2,
+            enable=do_update,
+        )
 
     # retire dead rows, clear pruned clone slots
     obs = fs.obs
@@ -257,10 +261,11 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         track_id=jnp.where(dead_rows, -1, obs.track_id),
     )
     fs = fs.replace(obs=obs)
-    # re-anchor slam features whose anchor clone is being pruned BEFORE its
-    # covariance rows are zeroed (the transform consumes them)
-    fs = slam_mod.reanchor_on_prune(cfg, fs, slot_a, slot_b, do_prune)
-    fs = prune_mod.remove_clones(cfg, fs, slot_a, slot_b, do_prune)
+    with jax.named_scope("filt.prune"):
+        # re-anchor slam features whose anchor clone is being pruned BEFORE
+        # its covariance rows are zeroed (the transform consumes them)
+        fs = slam_mod.reanchor_on_prune(cfg, fs, slot_a, slot_b, do_prune)
+        fs = prune_mod.remove_clones(cfg, fs, slot_a, slot_b, do_prune)
 
     # ---- 5. augmentation + observation insertion ----------------------------
     # Cloning continues through standstill (the reference augments every
@@ -272,16 +277,18 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # body rate at clone time: last valid IMU sample, bias-corrected
     last = jnp.argmax(jnp.where(imu.valid, imu.t, -jnp.inf))
     w_body = imu.w[last] - fs.bg
-    fs, slot = augment_state(cfg, fs, do_augment, w_body)
-    fs = add_observations(
-        cfg, fs, slot, feats.ids, feats.uv, feats.valid, slam_owned=owned
-    )
+    with jax.named_scope("filt.augment"):
+        fs, slot = augment_state(cfg, fs, do_augment, w_body)
+        fs = add_observations(
+            cfg, fs, slot, feats.ids, feats.uv, feats.valid, slam_owned=owned
+        )
 
     # ---- 6. hybrid update: slam rows + promotion-consumption blocks ---------
     newest = jnp.argmax(jnp.where(fs.clones.valid, fs.clones.frame, -1))
-    slam_H, slam_r, slam_accept, slam_hard_fail = slam_mod.slam_measurement_blocks(
-        cfg, fs, feats, newest
-    )
+    with jax.named_scope("filt.slam_meas"):
+        slam_H, slam_r, slam_accept, slam_hard_fail = slam_mod.slam_measurement_blocks(
+            cfg, fs, feats, newest
+        )
     # promotion candidates: still-alive full-window tracks; their windows are
     # consumed by MSCKF-style blocks in this same update, then cleared.
     # Bootstrap mode: while velocity uncertainty is high (right after a rough
@@ -301,9 +308,10 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         & (n_obs_now >= promote_thresh)
         & inited
     ) if S > 0 else jnp.zeros_like(dead_rows)
-    consume_blocks, consumed_rows, consume_idx, consume_tri, consumed_sel = _consume_blocks(
-        cfg, fs, promote_cand
-    )
+    with jax.named_scope("filt.consume"):
+        consume_blocks, consumed_rows, consume_idx, consume_tri, consumed_sel = _consume_blocks(
+            cfg, fs, promote_cand
+        )
     if S > 0:
         H_b = jnp.concatenate([slam_H, consume_blocks.H.reshape(-1, D)], axis=0)
         r_b = jnp.concatenate([slam_r, consume_blocks.r.reshape(-1)], axis=0)
@@ -326,7 +334,8 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         )
 
     # ---- 8. ZUPT update -----------------------------------------------------
-    fs = zupt_update(cfg, fs, stationary)
+    with jax.named_scope("filt.zupt"):
+        fs = zupt_update(cfg, fs, stationary)
 
     # ---- 10. online reset (ref:onlineReset, SURVEY.md §5) -------------------
     # triggers: variance explosion, non-finite P, or COLLAPSE — a negative

@@ -140,31 +140,37 @@ def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeature
     _, idx_p = jax.lax.top_k(score_p, K2)
     sel_p = jnp.take(use_p, idx_p)
 
-    # --- one combined batch ---------------------------------------------------
+    # --- one combined triangulation batch (shared GN scan), split blocks ----
     idx = jnp.concatenate([idx_d, idx_p])
     sel = jnp.concatenate([sel_d, sel_p])
     uv_b = obs.uv[idx]
     tri_mask = obs.valid[idx] & sel[:, None]
-    # dead features contribute all their rows; prune features only the
-    # removed clones' rows
-    row_b = jnp.concatenate(
-        [obs.valid[idx_d] & sel_d[:, None], row_mask_all[idx_p] & sel_p[:, None]]
-    )
 
     cams = camera_window(fs)
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, tri_mask)
     tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
+
+    # dead features: full projected blocks (all surviving rows)
+    row_d = obs.valid[idx_d] & sel_d[:, None]
     blocks = jax.vmap(
         lambda p_w, uv, m, tv: feature_block(cfg, fs, p_w, uv, m, tv)
-    )(tri.p_w, uv_b, row_b, tri_ok & sel)
+    )(tri.p_w[:K], uv_b[:K], row_d, tri_ok[:K] & sel_d)
 
-    # dead blocks keep all projected rows; prune blocks (<=4 valid rows each)
-    # keep only row 3, where the single surviving post-elimination row lives
-    H_stack = jnp.concatenate(
-        [blocks.H[:K].reshape(K * 2 * C, D), blocks.H[K:, 3, :]], axis=0
-    )
-    r_stack = jnp.concatenate([blocks.r[:K].reshape(K * 2 * C), blocks.r[K:, 3]])
-    n_accepted = jnp.sum(blocks.accept)
+    # prune features: exactly the two removed clones' rows -> one surviving
+    # row each, built by the specialized 4-row fast path (update.py) instead
+    # of the padded (2C, D) machinery
+    from larvio_tpu.models.update import prune_feature_block
+
+    slots = jnp.stack([slot_a, slot_b])
+    uv_p = obs.uv[idx_p][:, slots]  # (K2, 2, 2)
+    ok_p = row_mask_all[idx_p] [:, slots] & sel_p[:, None]  # (K2, 2)
+    H_p, r_p, acc_p = jax.vmap(
+        lambda p_w, uv2, ok2, tv: prune_feature_block(cfg, fs, p_w, uv2, slots, ok2, tv)
+    )(tri.p_w[K:], uv_p, ok_p, tri_ok[K:] & sel_p)
+
+    H_stack = jnp.concatenate([blocks.H.reshape(K * 2 * C, D), H_p], axis=0)
+    r_stack = jnp.concatenate([blocks.r.reshape(K * 2 * C), r_p])
+    n_accepted = jnp.sum(blocks.accept) + jnp.sum(acc_p)
     return H_stack, r_stack, n_accepted, dead
 
 

@@ -148,9 +148,11 @@ def triangulate_feature(
 
     r0, _ = residuals_jac(x0)
     cost0 = jnp.sum(r0 * r0)
+    # unroll: ~tri_max_iterations x ~20 tiny batched ops is while-loop
+    # latency-bound on TPU; unrolling lets XLA fuse across iterations
     (x, _, cost), _ = jax.lax.scan(
         gn_step, (x0, jnp.asarray(1e-3, x0.dtype), cost0), None,
-        length=fcfg.tri_max_iterations,
+        length=fcfg.tri_max_iterations, unroll=True,
     )
 
     rho = x[2]

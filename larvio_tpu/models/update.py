@@ -194,6 +194,88 @@ def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, row_mask, tri_valid)
     return FeatureBlock(H=H_o, r=r_o, accept=accept, Rf=Rf[:, :3], H3=H3, r3=r3)
 
 
+def prune_feature_block(cfg: VioConfig, fs: FilterState, p_w, uv2, slots, row_ok, tri_valid):
+    """Fast path for prune-marginalization features (ref:pruneCamStateBuffer).
+
+    A prune feature contributes exactly the two removed clones' observations
+    (4 rows); eliminating the 3 feature columns leaves ONE informative row.
+    The general ``feature_block`` pays the full padded (2C, D) Jacobian, a
+    (2C, D) Householder sweep and a (2C, 2C) gate Cholesky for it — ~100x the
+    algebra actually needed. This builds the 4 rows directly and gates with a
+    scalar S (no custom call).
+
+    p_w: (3,), uv2: (2, 2) observations at ``slots`` (shared (2,) slot pair),
+    row_ok: (2,) both-clones-valid mask, tri_valid: ().
+    Returns (H_row (D,), r_row (), accept ()).
+    """
+    D = state_dim(cfg)
+    dtype = fs.P.dtype
+    fej = cfg.filter.use_fej
+    sigma2 = jnp.asarray(cfg.noise.observation_noise**2, dtype)
+
+    R_ci = quat_to_rotation(fs.q_ci)
+    q_lin = (fs.clones.q_null if fej else fs.clones.q)[slots]  # (2, 4)
+    p_lin = (fs.clones.p_null if fej else fs.clones.p)[slots]
+    R_wi_lin = quat_to_rotation(q_lin)  # (2, 3, 3)
+    R_wi_cur = quat_to_rotation(fs.clones.q[slots])
+    p_cur = fs.clones.p[slots]
+
+    p_ij = jnp.einsum("nab,nb->na", R_wi_lin, p_w[None, :] - p_lin)
+    p_cj = jnp.einsum("ab,nb->na", R_ci, p_ij) + fs.t_ci
+    p_ij_cur = jnp.einsum("nab,nb->na", R_wi_cur, p_w[None, :] - p_cur)
+    p_cj_cur = jnp.einsum("ab,nb->na", R_ci, p_ij_cur) + fs.t_ci
+
+    z3 = p_cj[:, 2]
+    z3 = jnp.where(jnp.abs(z3) < 1e-6, 1e-6, z3)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([1.0 / z3, jnp.zeros_like(z3), -p_cj[:, 0] / z3**2], axis=-1),
+            jnp.stack([jnp.zeros_like(z3), 1.0 / z3, -p_cj[:, 1] / z3**2], axis=-1),
+        ],
+        axis=1,
+    )  # (2, 2, 3)
+    JR = jnp.einsum("nij,jk->nik", Jpi, R_ci)
+    H_theta = jnp.einsum("nij,njk->nik", JR, skew(p_ij))  # (2,2,3)
+    H_p = -jnp.einsum("nij,njk->nik", JR, R_wi_lin)
+    H_f = -H_p  # (2,2,3)
+
+    z3c = p_cj_cur[:, 2]
+    z3c = jnp.where(jnp.abs(z3c) < 1e-6, 1e-6, z3c)
+    pred = p_cj_cur[:, :2] / z3c[:, None]
+    r = jnp.where(row_ok[:, None], uv2 - pred, 0.0).reshape(4)
+
+    # dense (2, 2, D) rows: ext cols + one clone block each, then mask
+    if cfg.filter.estimate_extrinsic:
+        H_ext_theta = jnp.einsum("nij,njk->nik", Jpi, skew(p_cj - fs.t_ci[None, :]))
+        ext_cols = jnp.concatenate([H_ext_theta, Jpi], axis=-1)  # (2,2,6)
+    else:
+        ext_cols = jnp.zeros((2, 2, 6), dtype)
+    rows = jnp.zeros((2, 2, D), dtype)
+    rows = jax.lax.dynamic_update_slice(rows, ext_cols, (0, 0, IDX_EXT_THETA))
+    block = jnp.concatenate([H_theta, H_p], axis=-1)  # (2, 2, 6)
+    off = CLONE_BASE + slots * CLONE_DIM  # (2,)
+    rows = rows.at[0].set(
+        jax.lax.dynamic_update_slice(rows[0], block[0], (0, off[0]))
+    )
+    rows = rows.at[1].set(
+        jax.lax.dynamic_update_slice(rows[1], block[1], (0, off[1]))
+    )
+    rows = jnp.where(row_ok[:, None, None], rows, 0.0).reshape(4, D)
+    H_f4 = jnp.where(row_ok[:, None, None], H_f, 0.0).reshape(4, 3)
+
+    H_o, r_o, _, _ = householder_eliminate(H_f4, rows, r, 3)
+    H_row, r_row = H_o[3], r_o[3]
+
+    # scalar chi2 gate (dof = 2*2 - 3 = 1)
+    s = jnp.dot(H_row, mm(fs.P, H_row[:, None])[:, 0]) + sigma2
+    gamma = r_row * r_row / s
+    gate_ok = gamma < chi2_inv(jnp.asarray(1), cfg.filter.chi2_confidence)
+    accept = tri_valid & gate_ok & row_ok.all()
+    H_row = jnp.where(accept, H_row, 0.0)
+    r_row = jnp.where(accept, r_row, 0.0)
+    return H_row, r_row, accept
+
+
 def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray,
                  noise_var, enable=None):
     """Compressed EKF update + error injection into the nominal state.
@@ -209,8 +291,13 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
     sig = jnp.sqrt(jnp.broadcast_to(jnp.asarray(noise_var, fs.P.dtype), (n,)))
     Hw = H / sig[:, None]
     rw = r / sig
-    # QR compression to D rows (ref: Givens/QR measurement compression)
-    H_c, r_c = qr_compress(Hw, rw)
+    if n > D:
+        # QR compression to D rows (ref: Givens/QR measurement compression)
+        H_c, r_c = qr_compress(Hw, rw)
+    else:
+        # already at/below state dim (e.g. the 9-row ZUPT): compression would
+        # EXPAND the system to D rows — use the whitened rows directly
+        H_c, r_c = Hw, rw
     dx, P_new = joseph_update(fs.P, H_c, r_c, 1.0)
     # NaN containment (SURVEY.md §5 failure detection): a numerically broken
     # update must not poison the state — reject it wholesale and let the

@@ -106,5 +106,12 @@ def zupt_update(cfg: VioConfig, fs: FilterState, stationary: jnp.ndarray) -> Fil
             jnp.full(3, fcfg.zupt_noise_p**2, dtype),
         ]
     )
-    fs_new, _ = apply_update(cfg, fs, H, r, noise, enable=enable)
-    return fs_new
+    # lax.cond, not masking: stationarity is rare in normal motion, and in the
+    # scan (non-vmapped) execution path TPU conditionals really do skip the
+    # ~100-op update chain. Under fleet vmap this lowers to select (both
+    # branches) — identical to the old enable-masked form.
+    def do(fs_):
+        fs_new, _ = apply_update(cfg, fs_, H, r, noise, enable=enable)
+        return fs_new
+
+    return jax.lax.cond(enable, do, lambda fs_: fs_, fs)

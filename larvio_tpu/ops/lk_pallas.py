@@ -70,11 +70,15 @@ def _make_feature_body(shapes, patch, iters, precision, ld):
         def slab_at(ref, H, W, cx, cy):
             # Mosaic requires aligned vector loads: dynamic offsets must be
             # multiples of the tile (8 sublanes, 128 lanes for f32). Load an
-            # aligned (32, 256) window and rotate it into place with dynamic
-            # sublane/lane rolls; clamping uses logical sizes, loads padded.
+            # aligned (24, <=256) window (17 needed rows start within the
+            # first 8-row tile, so 24 rows always cover them), rotate rows
+            # into place (cheap sublane roll), STATIC-slice down to the 16
+            # result rows, and only then lane-roll — the lane roll is the
+            # expensive shuffle, and this ordering runs it on 2 row-tiles
+            # instead of 4. Clamping uses logical sizes, loads padded ones.
             r = patch // 2
             Wp = pad_w(W)
-            Hp = max(-(-H // 8) * 8, 32)
+            Hp = max(-(-H // 8) * 8, 32)  # must match _pad_hw
             cxc = jnp.clip(cx, r, W - r - 2.0)
             cyc = jnp.clip(cy, r, H - r - 2.0)
             x0 = jnp.floor(cxc).astype(jnp.int32) - r
@@ -83,14 +87,15 @@ def _make_feature_body(shapes, patch, iters, precision, ld):
             ya = pl.multiple_of(ya, 8)
             if Wp <= 256:
                 wide = ld(ref, pl.ds(ya, 32), slice(None))  # (32, Wp) static width
-                rolled = pltpu.roll(wide, -x0, axis=1)
+                xoff = x0
             else:
                 xa = jnp.minimum((x0 // 128) * 128, Wp - 256)
                 xa = pl.multiple_of(xa, 128)
                 wide = ld(ref, pl.ds(ya, 32), pl.ds(xa, 256))
-                rolled = pltpu.roll(wide, -(x0 - xa), axis=1)
-            rolled = pltpu.roll(rolled, -(y0 - ya), axis=0)
-            slab = rolled[:S, :S]
+                xoff = x0 - xa
+            rows = pltpu.roll(wide, -(y0 - ya), axis=0)[:S, :]
+            rolled = pltpu.roll(rows, -xoff, axis=1)
+            slab = rolled[:, :S]
             return slab, cxc - jnp.floor(cxc), cyc - jnp.floor(cyc)
 
         flow_x, flow_y = fx0, fy0

@@ -167,6 +167,57 @@ class TestPruneRowInvariant:
             np.testing.assert_allclose(got, sign * H_ref, atol=2e-4)
             np.testing.assert_allclose(r[3], sign * r_ref, atol=2e-4)
 
+    def test_fast_path_matches_general_block(self, rng):
+        """The specialized prune_feature_block (update.py fast path used by
+        _marginalization_blocks) must reproduce the general feature_block's
+        surviving row and accept verdict on 2-clone observations."""
+        from larvio_tpu.models.state import init_filter_state, state_dim
+        from larvio_tpu.models.update import feature_block, prune_feature_block
+
+        cfg = VioConfig(
+            filter=FilterConfig(max_clones=6, max_slam_features=0,
+                                max_update_features=2, max_prune_features=2),
+            frontend=FrontendConfig(max_features=8),
+        )
+        C = 6
+        for trial in range(5):
+            fs = init_filter_state(cfg)
+            p_cl = rng.normal(0, 0.4, (C, 3)).astype(np.float32)
+            p_cl[:, 0] += np.linspace(0, 1.0, C)
+            fs = fs.replace(
+                initialized=jnp.asarray(True),
+                clones=fs.clones.replace(
+                    valid=jnp.ones(C, bool), frame=jnp.arange(C, dtype=jnp.int32),
+                    p=jnp.asarray(p_cl), p_null=jnp.asarray(p_cl),
+                    q_null=fs.clones.q,
+                ),
+            )
+            p_w = np.array([0.3, -0.2, 6.0], np.float32) + rng.normal(0, 0.5, 3).astype(np.float32)
+            R_ci = np.asarray(quat_to_rotation(fs.q_ci))
+            t_ci = np.asarray(fs.t_ci)
+            uv = np.zeros((C, 2), np.float32)
+            for j in range(C):
+                pc = R_ci @ (p_w - p_cl[j]) + t_ci
+                uv[j] = pc[:2] / pc[2] + rng.normal(0, 1e-3, 2)
+            slot_a, slot_b = 1, 4  # non-adjacent slots
+            row_mask = np.zeros(C, bool)
+            row_mask[[slot_a, slot_b]] = True
+            blk = feature_block(
+                cfg, fs, jnp.asarray(p_w), jnp.asarray(uv),
+                jnp.asarray(row_mask), jnp.asarray(True),
+            )
+            slots = jnp.asarray([slot_a, slot_b])
+            H_row, r_row, acc = prune_feature_block(
+                cfg, fs, jnp.asarray(p_w), jnp.asarray(uv)[slots],
+                slots, jnp.asarray([True, True]), jnp.asarray(True),
+            )
+            assert bool(acc) == bool(blk.accept)
+            got = np.asarray(H_row)
+            ref = np.asarray(blk.H)[3]
+            sign = np.sign(float(got @ ref)) or 1.0
+            np.testing.assert_allclose(got, sign * ref, atol=2e-4)
+            np.testing.assert_allclose(float(r_row), sign * float(np.asarray(blk.r)[3]), atol=2e-4)
+
 
 @pytest.mark.slow
 class TestMonteCarloNees:

@@ -172,6 +172,39 @@ def qr_compress(H: jnp.ndarray, r: jnp.ndarray, mode: str = "cholqr2"):
     return L.T, r_c
 
 
+def inv_quadform(S: jnp.ndarray, r: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
+    """gamma = r^T S^{-1} r for SPD S — custom-call-free (chi-square gates).
+
+    The per-feature gate Cholesky lowers to a batched TPU custom call that is
+    latency-bound (~200 us for a (48, 40, 40) batch). This computes S^{-1} via
+    Jacobi-preconditioned Newton-Schulz iteration — X_{k+1} = X_k (2I - A X_k)
+    — which is pure batched MXU GEMM work and vmaps for free. Quadratic
+    convergence: with the Gershgorin-scaled start the error is squared each
+    step, giving ~1e-6 relative gamma error for cond(S) up to ~1e4 at
+    ``iters=20`` (test_core.py pins this). The gate only compares gamma to a
+    chi-square threshold, so even percent-level error is immaterial — but the
+    EKF update itself keeps its exact solve.
+
+    S: (n, n) SPD, r: (n,). Batched over leading dims by vmap.
+    """
+    n = S.shape[-1]
+    d = jnp.diagonal(S)
+    ds = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    A = S * ds[:, None] * ds[None, :]  # unit diagonal
+    rs = r * ds
+    # Gershgorin upper bound on lambda_max(A)
+    lam = jnp.max(jnp.sum(jnp.abs(A), axis=-1))
+    X = jnp.eye(n, dtype=S.dtype) / lam
+    eye2 = 2.0 * jnp.eye(n, dtype=S.dtype)
+
+    def body(X, _):
+        return mm(X, eye2 - mm(A, X)), None
+
+    X, _ = jax.lax.scan(body, X, None, length=iters, unroll=True)
+    X = symmetrize(X)
+    return jnp.dot(rs, mm(X, rs[:, None])[:, 0])
+
+
 def joseph_update(P, H, r, noise_var):
     """EKF update with Joseph-form covariance for f32 health.
 

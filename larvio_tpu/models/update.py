@@ -27,7 +27,14 @@ import jax.numpy as jnp
 
 from larvio_tpu.config import VioConfig
 from larvio_tpu.core.chi2 import chi2_inv
-from larvio_tpu.core.linalg import householder_eliminate, joseph_update, mm, qr_compress, symmetrize
+from larvio_tpu.core.linalg import (
+    householder_eliminate,
+    inv_quadform,
+    joseph_update,
+    mm,
+    qr_compress,
+    symmetrize,
+)
 from larvio_tpu.core.quaternion import quat_multiply, quat_to_rotation, small_angle_quat
 from larvio_tpu.core.so3 import skew
 from larvio_tpu.models.state import (
@@ -177,13 +184,12 @@ def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, row_mask, tri_valid)
         H_o = H_o * sw[:, None]
         r_o = r_o * sw
 
-    # chi-square gate (ref:gatingTest): gamma = r^T (H P H^T + s2 I)^-1 r
-    # (Cholesky: S is SPD by construction and chol+trsm is ~2x cheaper than
-    # the batched LU this used to lower to)
+    # chi-square gate (ref:gatingTest): gamma = r^T (H P H^T + s2 I)^-1 r,
+    # via the custom-call-free Newton-Schulz quadform (core/linalg.py) — the
+    # batched gate Cholesky was the single most expensive custom call in the
+    # frame step
     S = mm(H_o, mm(fs.P, H_o.T)) + sigma2 * jnp.eye(2 * C, dtype=fs.P.dtype)
-    chol = jax.lax.linalg.cholesky(S)
-    y = jax.scipy.linalg.solve_triangular(chol, r_o[:, None], lower=True)[:, 0]
-    gamma = jnp.dot(y, y)
+    gamma = inv_quadform(S, r_o)
     n_obs = jnp.sum(mask_s)
     dof = jnp.maximum(2 * n_obs - 3, 1)
     gate_ok = gamma < chi2_inv(dof, cfg.filter.chi2_confidence)

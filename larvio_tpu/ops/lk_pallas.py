@@ -129,34 +129,37 @@ def _make_feature_body(shapes, patch, iters, precision, ld):
                 & (cy >= margin) & (cy <= H - 1 - margin)
             )
 
+            # Each iteration gathers I at the CURRENT position and computes
+            # the residual there; once the step falls below precision (or the
+            # cap is hit) the position is NOT advanced, so the loop exits with
+            # err already evaluated at the final position — no separate
+            # residual gather per level (was +1 slab of ~5/feature/level).
             def cond(carry):
-                it, dx, dy, done = carry
+                it, dx, dy, err, done = carry
                 return (it < iters) & (~done)
 
             def body(carry):
-                it, dx, dy, done = carry
+                it, dx, dy, err, done = carry
                 islab, ifx, ify = slab_at(curr[lvl], H, W, cx + dx, cy + dy)
                 I = _bilinear_from_slab(islab, ifx, ify, patch)
                 e = I - T
+                err = jnp.sum(jnp.abs(e)) / n_px
                 bx = jnp.sum(Gx * e)
                 by = jnp.sum(Gy * e)
                 sx = (gyy * bx - gxy * by) * inv_det
                 sy = (gxx * by - gxy * bx) * inv_det
-                dx = dx - sx
-                dy = dy - sy
-                done = (sx * sx + sy * sy) < precision * precision
-                return it + 1, dx, dy, done
+                stop = ((sx * sx + sy * sy) < precision * precision) | (
+                    it + 1 >= iters
+                )
+                dx = jnp.where(stop, dx, dx - sx)
+                dy = jnp.where(stop, dy, dy - sy)
+                return it + 1, dx, dy, err, stop
 
             d0x = flow_x * scale
             d0y = flow_y * scale
-            _, dxf, dyf, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), d0x, d0y, ~lvl_ok)
+            _, dxf, dyf, lvl_err, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), d0x, d0y, jnp.float32(0.0), ~lvl_ok)
             )
-
-            # residual at the solution
-            islab, ifx, ify = slab_at(curr[lvl], H, W, cx + dxf, cy + dyf)
-            I = _bilinear_from_slab(islab, ifx, ify, patch)
-            lvl_err = jnp.sum(jnp.abs(I - T)) / n_px
             inb = (
                 (cx + dxf >= 1.0) & (cx + dxf <= W - 2.0)
                 & (cy + dyf >= 1.0) & (cy + dyf <= H - 2.0)
@@ -193,16 +196,29 @@ def _make_kernel(shapes, patch, iters, precision):
         out_err = refs[4 * levels + 2]
 
         i = pl.program_id(0)
-        ox, oy, ok, err = feature(
-            prev, curr, gxs, gys,
-            pos_ref[i, 0], pos_ref[i, 1],
-            guess_ref[i, 0], guess_ref[i, 1],
-            valid_ref[i] > 0,
-        )
-        out_pos[i, 0] = ox
-        out_pos[i, 1] = oy
-        out_valid[i] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
-        out_err[i] = err
+        feat_ok = valid_ref[i] > 0
+
+        # invalid slots skip the whole solve (~25% of the table in steady
+        # state); they report the guess position and ok=False
+        @pl.when(feat_ok)
+        def _():
+            ox, oy, ok, err = feature(
+                prev, curr, gxs, gys,
+                pos_ref[i, 0], pos_ref[i, 1],
+                guess_ref[i, 0], guess_ref[i, 1],
+                True,
+            )
+            out_pos[i, 0] = ox
+            out_pos[i, 1] = oy
+            out_valid[i] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
+            out_err[i] = err
+
+        @pl.when(jnp.logical_not(feat_ok))
+        def _():
+            out_pos[i, 0] = guess_ref[i, 0]
+            out_pos[i, 1] = guess_ref[i, 1]
+            out_valid[i] = jnp.int32(0)
+            out_err[i] = jnp.float32(0.0)
 
     return kernel
 
@@ -232,16 +248,27 @@ def _make_kernel_batched(shapes, patch, iters, precision, n_feat):
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = b * n_feat + i
-        ox, oy, ok, err = feature(
-            prev, curr, gxs, gys,
-            pos_ref[2 * k], pos_ref[2 * k + 1],
-            guess_ref[2 * k], guess_ref[2 * k + 1],
-            valid_ref[k] > 0,
-        )
-        out_pos[2 * k] = ox
-        out_pos[2 * k + 1] = oy
-        out_valid[k] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
-        out_err[k] = err
+        feat_ok = valid_ref[k] > 0
+
+        @pl.when(feat_ok)
+        def _():
+            ox, oy, ok, err = feature(
+                prev, curr, gxs, gys,
+                pos_ref[2 * k], pos_ref[2 * k + 1],
+                guess_ref[2 * k], guess_ref[2 * k + 1],
+                True,
+            )
+            out_pos[2 * k] = ox
+            out_pos[2 * k + 1] = oy
+            out_valid[k] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
+            out_err[k] = err
+
+        @pl.when(jnp.logical_not(feat_ok))
+        def _():
+            out_pos[2 * k] = guess_ref[2 * k]
+            out_pos[2 * k + 1] = guess_ref[2 * k + 1]
+            out_valid[k] = jnp.int32(0)
+            out_err[k] = jnp.float32(0.0)
 
     return kernel
 

@@ -160,3 +160,36 @@ class TestChi2:
         # chi2_{0.95} quantiles: dof 1 -> 3.841, 2 -> 5.991, 10 -> 18.307
         got = np.asarray(chi2_inv95(jnp.array([1, 2, 10])))
         np.testing.assert_allclose(got, [3.841, 5.991, 18.307], rtol=5e-3)
+
+
+class TestInvQuadform:
+    def test_matches_exact_solve_across_conditioning(self, rng):
+        """Newton-Schulz gate quadform vs exact solve: <0.1% relative error
+        for conditioning up to ~1e4 (the gate's operating envelope)."""
+        from larvio_tpu.core.linalg import inv_quadform
+
+        n = 40
+        for cond in (10.0, 1e2, 1e3, 1e4):
+            for trial in range(3):
+                Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+                lam = np.logspace(0, np.log10(cond), n)
+                S = (Q * lam) @ Q.T + 1e-3 * np.eye(n)
+                S = S.astype(np.float32)
+                r = rng.normal(size=n).astype(np.float32)
+                exact = float(r @ np.linalg.solve(S.astype(np.float64), r))
+                got = float(inv_quadform(jnp.asarray(S), jnp.asarray(r)))
+                assert abs(got - exact) / exact < 1e-3, (cond, got, exact)
+
+    def test_padded_zero_rows(self, rng):
+        """S rows from zero-padded H (diagonal sigma^2 only) must not break it."""
+        from larvio_tpu.core.linalg import inv_quadform
+
+        n, k = 40, 7
+        H = np.zeros((n, 30), np.float32)
+        H[:k] = rng.normal(size=(k, 30)).astype(np.float32)
+        S = H @ H.T * 0.01 + 1.2e-3 * np.eye(n, dtype=np.float32)
+        r = np.zeros(n, np.float32)
+        r[:k] = rng.normal(size=k).astype(np.float32)
+        exact = float(r @ np.linalg.solve(S.astype(np.float64), r))
+        got = float(inv_quadform(jnp.asarray(S), jnp.asarray(r)))
+        assert abs(got - exact) / max(exact, 1e-9) < 1e-3

@@ -102,6 +102,17 @@ def solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
+def inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse via the adjugate (batched over leading axes).
+
+    jnp.linalg.inv on (…,3,3) lowers to a batched LU custom call on TPU
+    (same latency trap as solve3's note above); the adjugate form is fused
+    VPU elementwise work.
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    return jnp.stack([solve3(A, eye[..., i, :]) for i in range(3)], axis=-1)
+
+
 def qr_compress(H: jnp.ndarray, r: jnp.ndarray, mode: str = "cholqr2"):
     """Compress a tall stacked (whitened) measurement system to state dim.
 

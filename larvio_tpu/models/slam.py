@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from larvio_tpu.config import VioConfig
 from larvio_tpu.core.chi2 import chi2_inv
-from larvio_tpu.core.linalg import mm
+from larvio_tpu.core.linalg import inv3, mm
 from larvio_tpu.core.quaternion import quat_to_rotation
 from larvio_tpu.core.so3 import skew
 from larvio_tpu.models.state import (
@@ -341,7 +341,7 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
         )
         J_idp, J_thA = J_idp[0], J_thA[0]
         A6 = jnp.concatenate([J_thA, jnp.eye(3, dtype=dtype)], axis=1)  # (3,6)
-        T = jnp.linalg.inv(J_idp)
+        T = inv3(J_idp)
         P_fa = jax.lax.dynamic_slice(P_fx, (0, ao), (3, CLONE_DIM))  # (3,6)
         P_idp_x = mm(T, P_fx - mm(A6, P_a_rows))  # (3,D)
         core = P_ff - mm(P_fa, A6.T) - mm(A6, P_fa.T) + mm(A6, mm(P_aa, A6.T))

@@ -124,8 +124,11 @@ def triangulate_feature(
         return r, J
 
     def gn_step(carry, _):
-        x, lam, cost = carry
-        r, J = residuals_jac(x)
+        # (r, J) carried: ONE residuals_jac eval per iteration. The candidate
+        # eval doubles as the next iteration's linearization on accept; on
+        # reject the carried (r, J) at the unchanged x is still exact — the
+        # LM accept/reject decisions are identical to the two-eval form.
+        x, lam, cost, r, J = carry
         JtJ = jnp.einsum("nij,nik->jk", J, J)
         Jtr = jnp.einsum("nij,ni->j", J, r)
         A = JtJ + lam * jnp.diag(jnp.diag(JtJ)) + 1e-9 * jnp.eye(3, dtype=x.dtype)
@@ -138,20 +141,22 @@ def triangulate_feature(
         x_new = x_new.at[2].set(
             jnp.clip(x_new[2], 1.0 / fcfg.tri_max_depth, 1.0 / fcfg.tri_min_depth)
         )
-        r_new, _ = residuals_jac(x_new)
+        r_new, J_new = residuals_jac(x_new)
         cost_new = jnp.sum(r_new * r_new)
         accept = cost_new < cost
         x = jnp.where(accept, x_new, x)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-7), jnp.minimum(lam * 5.0, 1e4))
         cost = jnp.where(accept, cost_new, cost)
-        return (x, lam, cost), None
+        r = jnp.where(accept, r_new, r)
+        J = jnp.where(accept, J_new, J)
+        return (x, lam, cost, r, J), None
 
-    r0, _ = residuals_jac(x0)
+    r0, J0 = residuals_jac(x0)
     cost0 = jnp.sum(r0 * r0)
     # unroll: ~tri_max_iterations x ~20 tiny batched ops is while-loop
     # latency-bound on TPU; unrolling lets XLA fuse across iterations
-    (x, _, cost), _ = jax.lax.scan(
-        gn_step, (x0, jnp.asarray(1e-3, x0.dtype), cost0), None,
+    (x, _, cost, _, _), _ = jax.lax.scan(
+        gn_step, (x0, jnp.asarray(1e-3, x0.dtype), cost0, r0, J0), None,
         length=fcfg.tri_max_iterations, unroll=True,
     )
 

@@ -32,6 +32,10 @@ from larvio_tpu.ops.image import in_bounds
 # patch is PATCH x PATCH (odd); slices are (PATCH+1)^2 for bilinear
 _MAX_ERR = 25.0
 _MIN_EIG = 1e-3
+# features solved jointly per program in the single-instance kernel: their
+# independent op chains share basic blocks so Mosaic's scheduler interleaves
+# them (1.7x over one-feature programs at n=4; n=8 blows up compile time)
+_LK_GROUP = 4
 
 
 def _bilinear_from_slab(slab, fx, fy, patch):
@@ -177,6 +181,161 @@ def _make_feature_body(shapes, patch, iters, precision, ld):
     return body
 
 
+def _make_multi_feature_body(shapes, patch, iters, precision, ld, n):
+    """n-features-per-program LK solve with a JOINT per-level iteration loop.
+
+    The per-feature solve is a long dependency chain of small vector ops
+    (load -> sublane roll -> lane roll -> bilinear -> cross-lane reduce) that
+    leaves the VPU mostly idle. Solving n features per program puts their
+    independent chains in the SAME basic blocks (the template part is
+    straight-line; the iteration loop is shared), so Mosaic's scheduler can
+    interleave them — measured ~1.3x at n=2 over one-feature programs. The
+    joint while freezes each feature at its own stop condition, so per-feature
+    results are bit-identical to the n=1 kernel.
+    """
+    levels = len(shapes)
+    S = patch + 1
+    n_px = float(patch * patch)
+
+    def pad_w(w):
+        return -(-w // 128) * 128
+
+    def body(prev, curr, gxs, gys, pxs, pys, gpxs, gpys, oks):
+        def slab_at(ref, H, W, cx, cy):
+            # see _make_feature_body.slab_at — identical addressing
+            r = patch // 2
+            Wp = pad_w(W)
+            Hp = max(-(-H // 8) * 8, 32)  # must match _pad_hw
+            cxc = jnp.clip(cx, r, W - r - 2.0)
+            cyc = jnp.clip(cy, r, H - r - 2.0)
+            x0 = jnp.floor(cxc).astype(jnp.int32) - r
+            y0 = jnp.floor(cyc).astype(jnp.int32) - r
+            ya = jnp.minimum((y0 // 8) * 8, Hp - 32)
+            ya = pl.multiple_of(ya, 8)
+            if Wp <= 256:
+                wide = ld(ref, pl.ds(ya, 32), slice(None))
+                xoff = x0
+            else:
+                xa = jnp.minimum((x0 // 128) * 128, Wp - 256)
+                xa = pl.multiple_of(xa, 128)
+                wide = ld(ref, pl.ds(ya, 32), pl.ds(xa, 256))
+                xoff = x0 - xa
+            rows = pltpu.roll(wide, -(y0 - ya), axis=0)[:S, :]
+            rolled = pltpu.roll(rows, -xoff, axis=1)
+            slab = rolled[:, :S]
+            return slab, cxc - jnp.floor(cxc), cyc - jnp.floor(cyc)
+
+        flow_x = [gpxs[k] - pxs[k] for k in range(n)]
+        flow_y = [gpys[k] - pys[k] for k in range(n)]
+        ok = list(oks)
+        err = [jnp.float32(0.0)] * n
+
+        for lvl in range(levels - 1, -1, -1):
+            H, W = shapes[lvl]
+            scale = jnp.float32(2.0 ** (-lvl))
+            cx = [pxs[k] * scale for k in range(n)]
+            cy = [pys[k] * scale for k in range(n)]
+
+            tparts = [slab_at(prev[lvl], H, W, cx[k], cy[k]) for k in range(n)]
+            T = [_bilinear_from_slab(s, fx, fy, patch) for s, fx, fy in tparts]
+            gxsl = [slab_at(gxs[lvl], H, W, cx[k], cy[k])[0] for k in range(n)]
+            gysl = [slab_at(gys[lvl], H, W, cx[k], cy[k])[0] for k in range(n)]
+            Gx = [
+                _bilinear_from_slab(gxsl[k], tparts[k][1], tparts[k][2], patch)
+                for k in range(n)
+            ]
+            Gy = [
+                _bilinear_from_slab(gysl[k], tparts[k][1], tparts[k][2], patch)
+                for k in range(n)
+            ]
+
+            gxx = [jnp.sum(Gx[k] * Gx[k]) for k in range(n)]
+            gxy = [jnp.sum(Gx[k] * Gy[k]) for k in range(n)]
+            gyy = [jnp.sum(Gy[k] * Gy[k]) for k in range(n)]
+            det = [gxx[k] * gyy[k] - gxy[k] * gxy[k] for k in range(n)]
+            tr = [gxx[k] + gyy[k] for k in range(n)]
+            min_e = [
+                (tr[k] - jnp.sqrt(jnp.maximum(tr[k] * tr[k] - 4 * det[k], 0.0)))
+                / (2 * n_px)
+                for k in range(n)
+            ]
+            inv_det = [1.0 / jnp.maximum(det[k], 1e-12) for k in range(n)]
+            margin = patch // 2 + 1
+            lvl_ok = [
+                (min_e[k] > _MIN_EIG)
+                & (cx[k] >= margin) & (cx[k] <= W - 1 - margin)
+                & (cy[k] >= margin) & (cy[k] <= H - 1 - margin)
+                for k in range(n)
+            ]
+
+            def cond(carry):
+                it = carry[0]
+                done = carry[4]
+                alldone = done[0]
+                for k in range(1, n):
+                    alldone = alldone & done[k]
+                return (it < iters) & (~alldone)
+
+            def wbody(carry):
+                it, dx, dy, lerr, done = carry
+                dx, dy, lerr, done = list(dx), list(dy), list(lerr), list(done)
+                gath = [
+                    slab_at(curr[lvl], H, W, cx[k] + dx[k], cy[k] + dy[k])
+                    for k in range(n)
+                ]
+                for k in range(n):
+                    islab, ifx, ify = gath[k]
+                    I = _bilinear_from_slab(islab, ifx, ify, patch)
+                    e = I - T[k]
+                    err_new = jnp.sum(jnp.abs(e)) / n_px
+                    bx = jnp.sum(Gx[k] * e)
+                    by = jnp.sum(Gy[k] * e)
+                    sx = (gyy[k] * bx - gxy[k] * by) * inv_det[k]
+                    sy = (gxx[k] * by - gxy[k] * bx) * inv_det[k]
+                    stop = ((sx * sx + sy * sy) < precision * precision) | (
+                        it + 1 >= iters
+                    )
+                    # frozen features keep their state exactly (bit-parity
+                    # with the n=1 kernel)
+                    lerr[k] = jnp.where(done[k], lerr[k], err_new)
+                    dx[k] = jnp.where(done[k] | stop, dx[k], dx[k] - sx)
+                    dy[k] = jnp.where(done[k] | stop, dy[k], dy[k] - sy)
+                    done[k] = done[k] | stop
+                return it + 1, tuple(dx), tuple(dy), tuple(lerr), tuple(done)
+
+            d0x = tuple(flow_x[k] * scale for k in range(n))
+            d0y = tuple(flow_y[k] * scale for k in range(n))
+            _, dxf, dyf, lvl_err, _ = jax.lax.while_loop(
+                cond,
+                wbody,
+                (
+                    jnp.int32(0), d0x, d0y,
+                    tuple(jnp.float32(0.0) for _ in range(n)),
+                    tuple(~lvl_ok[k] for k in range(n)),
+                ),
+            )
+            for k in range(n):
+                inb = (
+                    (cx[k] + dxf[k] >= 1.0) & (cx[k] + dxf[k] <= W - 2.0)
+                    & (cy[k] + dyf[k] >= 1.0) & (cy[k] + dyf[k] <= H - 2.0)
+                )
+                new_ok = lvl_ok[k] & inb
+                flow_x[k] = jnp.where(new_ok, dxf[k] / scale, flow_x[k])
+                flow_y[k] = jnp.where(new_ok, dyf[k] / scale, flow_y[k])
+                if lvl == 0:
+                    ok[k] = oks[k] & new_ok & (lvl_err[k] < _MAX_ERR)
+                    err[k] = lvl_err[k]
+
+        return (
+            [pxs[k] + flow_x[k] for k in range(n)],
+            [pys[k] + flow_y[k] for k in range(n)],
+            ok,
+            err,
+        )
+
+    return body
+
+
 def _make_kernel(shapes, patch, iters, precision):
     """Single-instance kernel: grid (F,), whole pyramids resident in VMEM."""
     levels = len(shapes)
@@ -223,17 +382,71 @@ def _make_kernel(shapes, patch, iters, precision):
     return kernel
 
 
-def _make_kernel_batched(shapes, patch, iters, precision, n_feat):
-    """Fleet kernel: grid (B, F) — F innermost, so each instance's pyramid
+def _make_kernel_multi(shapes, patch, iters, precision, n):
+    """Grid (F//n,): n features per program via the joint multi-body."""
+    levels = len(shapes)
+    multi = _make_multi_feature_body(
+        shapes, patch, iters, precision, ld=lambda ref, r, c: ref[r, c], n=n
+    )
+
+    def kernel(pos_ref, guess_ref, valid_ref, *refs):
+        prev = refs[0:levels]
+        curr = refs[levels : 2 * levels]
+        gxs = refs[2 * levels : 3 * levels]
+        gys = refs[3 * levels : 4 * levels]
+        out_pos = refs[4 * levels]
+        out_valid = refs[4 * levels + 1]
+        out_err = refs[4 * levels + 2]
+
+        p = pl.program_id(0)
+        ii = [n * p + k for k in range(n)]
+        oks = [valid_ref[i] > 0 for i in ii]
+        any_ok = oks[0]
+        for k in range(1, n):
+            any_ok = any_ok | oks[k]
+
+        @pl.when(any_ok)
+        def _():
+            oxs, oys, okr, errs = multi(
+                prev, curr, gxs, gys,
+                tuple(pos_ref[i, 0] for i in ii),
+                tuple(pos_ref[i, 1] for i in ii),
+                tuple(guess_ref[i, 0] for i in ii),
+                tuple(guess_ref[i, 1] for i in ii),
+                tuple(oks),
+            )
+            for k, i in enumerate(ii):
+                # invalid member of a mixed group reports the guess (matches
+                # the n=1 kernel's skip path)
+                out_pos[i, 0] = jnp.where(oks[k], oxs[k], guess_ref[i, 0])
+                out_pos[i, 1] = jnp.where(oks[k], oys[k], guess_ref[i, 1])
+                out_valid[i] = jnp.where(okr[k], jnp.int32(1), jnp.int32(0))
+                out_err[i] = jnp.where(oks[k], errs[k], jnp.float32(0.0))
+
+        @pl.when(jnp.logical_not(any_ok))
+        def _():
+            for i in ii:
+                out_pos[i, 0] = guess_ref[i, 0]
+                out_pos[i, 1] = guess_ref[i, 1]
+                out_valid[i] = jnp.int32(0)
+                out_err[i] = jnp.float32(0.0)
+
+    return kernel
+
+
+def _make_kernel_batched(shapes, patch, iters, precision, n_feat, n):
+    """Fleet kernel: grid (B, F//n) — F innermost, so each instance's pyramid
     blocks stay resident in VMEM across its whole feature table (Pallas skips
-    the re-copy when the block index map output is unchanged).
+    the re-copy when the block index map output is unchanged). Each program
+    solves ``n`` features jointly (same ILP win as the single-instance
+    kernel).
 
     Scalar operands are FLATTENED 1-D SMEM arrays indexed b*F+i: SMEM pads
     multi-dim arrays per element (~256 B each), so an (8, 200, 2) f32 operand
     would claim 800 KB of the 1 MB SMEM budget; flat it is 12.8 KB."""
     levels = len(shapes)
-    feature = _make_feature_body(
-        shapes, patch, iters, precision, ld=lambda ref, r, c: ref[0, r, c]
+    multi = _make_multi_feature_body(
+        shapes, patch, iters, precision, ld=lambda ref, r, c: ref[0, r, c], n=n
     )
 
     def kernel(pos_ref, guess_ref, valid_ref, *refs):
@@ -246,29 +459,36 @@ def _make_kernel_batched(shapes, patch, iters, precision, n_feat):
         out_err = refs[4 * levels + 2]
 
         b = pl.program_id(0)
-        i = pl.program_id(1)
-        k = b * n_feat + i
-        feat_ok = valid_ref[k] > 0
+        p = pl.program_id(1)
+        kk = [b * n_feat + n * p + j for j in range(n)]
+        oks = [valid_ref[k] > 0 for k in kk]
+        any_ok = oks[0]
+        for j in range(1, n):
+            any_ok = any_ok | oks[j]
 
-        @pl.when(feat_ok)
+        @pl.when(any_ok)
         def _():
-            ox, oy, ok, err = feature(
+            oxs, oys, okr, errs = multi(
                 prev, curr, gxs, gys,
-                pos_ref[2 * k], pos_ref[2 * k + 1],
-                guess_ref[2 * k], guess_ref[2 * k + 1],
-                True,
+                tuple(pos_ref[2 * k] for k in kk),
+                tuple(pos_ref[2 * k + 1] for k in kk),
+                tuple(guess_ref[2 * k] for k in kk),
+                tuple(guess_ref[2 * k + 1] for k in kk),
+                tuple(oks),
             )
-            out_pos[2 * k] = ox
-            out_pos[2 * k + 1] = oy
-            out_valid[k] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
-            out_err[k] = err
+            for j, k in enumerate(kk):
+                out_pos[2 * k] = jnp.where(oks[j], oxs[j], guess_ref[2 * k])
+                out_pos[2 * k + 1] = jnp.where(oks[j], oys[j], guess_ref[2 * k + 1])
+                out_valid[k] = jnp.where(okr[j], jnp.int32(1), jnp.int32(0))
+                out_err[k] = jnp.where(oks[j], errs[j], jnp.float32(0.0))
 
-        @pl.when(jnp.logical_not(feat_ok))
+        @pl.when(jnp.logical_not(any_ok))
         def _():
-            out_pos[2 * k] = guess_ref[2 * k]
-            out_pos[2 * k + 1] = guess_ref[2 * k + 1]
-            out_valid[k] = jnp.int32(0)
-            out_err[k] = jnp.float32(0.0)
+            for k in kk:
+                out_pos[2 * k] = guess_ref[2 * k]
+                out_pos[2 * k + 1] = guess_ref[2 * k + 1]
+                out_valid[k] = jnp.int32(0)
+                out_err[k] = jnp.float32(0.0)
 
     return kernel
 
@@ -377,7 +597,14 @@ def _lk_track_pallas_batched_impl(
     B, F = pos_prev.shape[0], pos_prev.shape[1]
     levels = len(prev_pyr)
     shapes = tuple((int(im.shape[1]), int(im.shape[2])) for im in prev_pyr)
-    kernel = _make_kernel_batched(shapes, patch, iters, float(precision), F)
+    F_pad = -(-F // _LK_GROUP) * _LK_GROUP
+    if F_pad != F:
+        pos_prev = jnp.pad(pos_prev, ((0, 0), (0, F_pad - F), (0, 0)))
+        pos_guess = jnp.pad(pos_guess, ((0, 0), (0, F_pad - F), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, F_pad - F)))
+    kernel = _make_kernel_batched(
+        shapes, patch, iters, float(precision), F_pad, _LK_GROUP
+    )
 
     def padded(imgs):
         out = []
@@ -404,7 +631,7 @@ def _lk_track_pallas_batched_impl(
     ]
     out_pos, out_valid, out_err = pl.pallas_call(
         kernel,
-        grid=(B, F),
+        grid=(B, F_pad // _LK_GROUP),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
             pl.BlockSpec(memory_space=pltpu.SMEM),  # guess
@@ -417,9 +644,9 @@ def _lk_track_pallas_batched_impl(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * F * 2,), jnp.float32),
-            jax.ShapeDtypeStruct((B * F,), jnp.int32),
-            jax.ShapeDtypeStruct((B * F,), jnp.float32),
+            jax.ShapeDtypeStruct((B * F_pad * 2,), jnp.float32),
+            jax.ShapeDtypeStruct((B * F_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((B * F_pad,), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -432,9 +659,9 @@ def _lk_track_pallas_batched_impl(
         *grad_pyr_y,
     )
 
-    out_pos = out_pos.reshape(B, F, 2)
-    out_valid = out_valid.reshape(B, F)
-    out_err = out_err.reshape(B, F)
+    out_pos = out_pos.reshape(B, F_pad, 2)[:, :F]
+    out_valid = out_valid.reshape(B, F_pad)[:, :F]
+    out_err = out_err.reshape(B, F_pad)[:, :F]
     H0, W0 = shapes[0]
     ok = (out_valid > 0) & in_bounds(out_pos, (H0, W0), margin=1.0)
     return LKResult(pos=out_pos, valid=ok, err=out_err)
@@ -459,7 +686,14 @@ def _lk_track_pallas_impl(
     F = pos_prev.shape[0]
     levels = len(prev_pyr)
     shapes = tuple((int(im.shape[0]), int(im.shape[1])) for im in prev_pyr)
-    kernel = _make_kernel(shapes, patch, iters, float(precision))
+    # _LK_GROUP features per program (joint-iteration ILP kernel); ragged
+    # tables get padded invalid slots
+    F_pad = -(-F // _LK_GROUP) * _LK_GROUP
+    if F_pad != F:
+        pos_prev = jnp.pad(pos_prev, ((0, F_pad - F), (0, 0)))
+        pos_guess = jnp.pad(pos_guess, ((0, F_pad - F), (0, 0)))
+        valid = jnp.pad(valid, (0, F_pad - F))
+    kernel = _make_kernel_multi(shapes, patch, iters, float(precision), _LK_GROUP)
 
     def padded(imgs):
         out = []
@@ -480,7 +714,7 @@ def _lk_track_pallas_impl(
     img_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 * levels)
     out_pos, out_valid, out_err = pl.pallas_call(
         kernel,
-        grid=(F,),
+        grid=(F_pad // _LK_GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
             pl.BlockSpec(memory_space=pltpu.SMEM),  # guess
@@ -493,9 +727,9 @@ def _lk_track_pallas_impl(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((F, 2), jnp.float32),
-            jax.ShapeDtypeStruct((F,), jnp.int32),
-            jax.ShapeDtypeStruct((F,), jnp.float32),
+            jax.ShapeDtypeStruct((F_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((F_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((F_pad,), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -509,6 +743,6 @@ def _lk_track_pallas_impl(
     )
 
     H0, W0 = shapes[0]
-    pos = out_pos
-    ok = (out_valid > 0) & in_bounds(pos, (H0, W0), margin=1.0)
-    return LKResult(pos=pos, valid=ok, err=out_err)
+    pos = out_pos[:F]
+    ok = (out_valid[:F] > 0) & in_bounds(pos, (H0, W0), margin=1.0)
+    return LKResult(pos=pos, valid=ok, err=out_err[:F])

@@ -289,13 +289,14 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
     The stored state is anchored inverse depth at ``anchor_slot`` (the newest
     clone). The idp error relates to the world error by
 
-        df = J_idp d_idp + J_thA dtheta_A + dp_A   (+ extrinsic terms, whose
-        prior is ~3.5 mrad / 1 cm and is neglected here)
+        df = J_idp d_idp + J_thA dtheta_A + dp_A + J_phi dphi + J_tci dt_ci
 
-    so  d_idp = J_idp^-1 (df - A dx_anchor)  with A = [J_thA, I], giving
+    so  d_idp = J_idp^-1 (df - A dx_ae)  with A = [J_thA, I, J_phi, J_tci]
+    against the stacked [anchor(6); extrinsic(6)] columns, giving
 
-        P_idp,x   = T (P_fx - A P[a,:])          T = J_idp^-1
-        P_idp,idp = T (P_ff - P_fx[:,a] A^T - A P_fx[:,a]^T + A P[a,a] A^T) T^T
+        P_idp,x   = T (P_fx - A P[ae,:])         T = J_idp^-1
+        P_idp,idp = T (P_ff - P_fx[:,ae] A^T - A P_fx[:,ae]^T
+                       + A P[ae,ae] A^T) T^T
     """
     S = cfg.filter.max_slam_features
     if S == 0:
@@ -312,9 +313,18 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
     p_Aq = fs.clones.p[a_slot]
     ao = clone_offset(a_slot)
 
-    # per-candidate conditional init (vmapped pre-pass)
+    # per-candidate conditional init (vmapped pre-pass); the conditioning
+    # columns are the stacked [anchor(6); extrinsic(6)] block
     P_a_rows = jax.lax.dynamic_slice(fs.P, (ao, 0), (CLONE_DIM, D))  # (6,D)
-    P_aa = jax.lax.dynamic_slice(P_a_rows, (0, ao), (CLONE_DIM, CLONE_DIM))
+    P_e_rows = fs.P[IDX_EXT_THETA : IDX_EXT_THETA + 6, :]  # (6,D)
+    P_ae_rows = jnp.concatenate([P_a_rows, P_e_rows], axis=0)  # (12,D)
+    P_aaee = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice(P_ae_rows, (0, ao), (12, CLONE_DIM)),
+            P_ae_rows[:, IDX_EXT_THETA : IDX_EXT_THETA + 6],
+        ],
+        axis=1,
+    )  # (12,12)
 
     def init_of(k):
         Rf = blocks.Rf[k] + 1e-9 * jnp.eye(3, dtype=dtype)
@@ -330,26 +340,41 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
         P_ff = -mm(P_fx, E.T) + sigma2 * mm(RfinvT, RfinvT.T)
         P_ff = 0.5 * (P_ff + P_ff.T)
 
-        # world -> anchored-idp error transform
+        # world -> anchored-idp error transform. The anchored point depends on
+        # the anchor pose AND the camera-IMU extrinsic:
+        #   df = J_idp d_idp + [J_thA, I] dx_anchor + [J_phi, J_tci] dx_ext
+        # so the init conditions on the stacked 12 columns [anchor(6); ext(6)]
+        # (the extrinsic cross-terms were formerly neglected — ROADMAP r2 #4).
         p_init = tri.p_w[k] + df
         idp_hat, zA = _idp_of_world(
             p_init[None], R_Aq[None], p_Aq[None], R_ci, fs.t_ci
         )
         idp_hat, zA = idp_hat[0], zA[0]
-        _, J_idp, J_thA, _, _, _ = _world_point_and_jac(
+        _, J_idp, J_thA, J_phi, J_tci, _ = _world_point_and_jac(
             idp_hat[None], R_Aq[None], p_Aq[None], R_ci, fs.t_ci
         )
         J_idp, J_thA = J_idp[0], J_thA[0]
-        A6 = jnp.concatenate([J_thA, jnp.eye(3, dtype=dtype)], axis=1)  # (3,6)
+        A12 = jnp.concatenate(
+            [J_thA, jnp.eye(3, dtype=dtype), J_phi[0], J_tci[0]], axis=1
+        )  # (3,12) against rows [anchor(6); ext(6)]
         T = inv3(J_idp)
-        P_fa = jax.lax.dynamic_slice(P_fx, (0, ao), (3, CLONE_DIM))  # (3,6)
-        P_idp_x = mm(T, P_fx - mm(A6, P_a_rows))  # (3,D)
-        core = P_ff - mm(P_fa, A6.T) - mm(A6, P_fa.T) + mm(A6, mm(P_aa, A6.T))
+        P_fae = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(P_fx, (0, ao), (3, CLONE_DIM)),
+                P_fx[:, IDX_EXT_THETA : IDX_EXT_THETA + 6],
+            ],
+            axis=1,
+        )  # (3,12)
+        P_idp_x = mm(T, P_fx - mm(A12, P_ae_rows))  # (3,D)
+        core = (
+            P_ff - mm(P_fae, A12.T) - mm(A12, P_fae.T)
+            + mm(A12, mm(P_aaee, A12.T))
+        )
         P_idp = mm(T, mm(core, T.T))
         P_idp = 0.5 * (P_idp + P_idp.T)
-        return idp_hat, zA, P_idp_x, P_idp, df, E, P_fx, A6, T
+        return idp_hat, zA, P_idp_x, P_idp, df, E, P_fx, A12, T
 
-    idp_all, zA_all, P_fx_all, P_ff_all, df_all, E_all, P_fx_raw, A6_all, T_all = jax.vmap(
+    idp_all, zA_all, P_fx_all, P_ff_all, df_all, E_all, P_fx_raw, A12_all, T_all = jax.vmap(
         init_of
     )(jnp.arange(S))
 
@@ -363,14 +388,20 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
     # (measurement noises of distinct features are independent — no sigma^2
     # cross term).
     X_all = jax.vmap(
-        lambda Pf: jax.lax.dynamic_slice(Pf, (0, ao), (3, CLONE_DIM))
-    )(P_fx_raw)  # (S,3,6)
+        lambda Pf: jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(Pf, (0, ao), (3, CLONE_DIM)),
+                Pf[:, IDX_EXT_THETA : IDX_EXT_THETA + 6],
+            ],
+            axis=1,
+        )
+    )(P_fx_raw)  # (S,3,12)
 
     def cross_of(i, j):
         m1 = -mm(P_fx_raw[i], E_all[j].T)  # E_i P E_j^T  (P_fx = -E P)
-        m2 = -mm(X_all[i], A6_all[j].T)  # -X_i A_j^T
-        m3 = -mm(A6_all[i], X_all[j].T)  # -A_i X_j^T
-        m4 = mm(A6_all[i], mm(P_aa, A6_all[j].T))
+        m2 = -mm(X_all[i], A12_all[j].T)  # -X_i A_j^T
+        m3 = -mm(A12_all[i], X_all[j].T)  # -A_i X_j^T
+        m4 = mm(A12_all[i], mm(P_aaee, A12_all[j].T))
         return mm(T_all[i], mm(m1 + m2 + m3 + m4, T_all[j].T))
 
     cross_all = jax.vmap(
@@ -472,12 +503,15 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
     MUST run before prune.remove_clones zeroes the pruned slots' covariance —
     the transform consumes the old anchor's rows. New anchor = newest clone
     that survives the prune. First-order error map (see module docstring
-    conventions; extrinsic cross-terms neglected, prior ~mrad/cm):
+    conventions):
 
-        d_idp_B = G_f d_idp_A + G_A dx_A + G_B dx_B
+        d_idp_B = G_f d_idp_A + G_A dx_A + G_B dx_B + G_E dx_ext
         G_f = N R_ci R_B J_idp^A
         G_A = N R_ci R_B [J_thA, I]
         G_B = N [R_ci [v]x, -R_ci R_B],  v = R_B (p_w - p_B)
+        G_E = [N R_ci R_B J_phi^A + N [R_ci v]x,  N R_ci R_B J_tci^A + N]
+        (extrinsic enters both through the old-anchor world point and the
+        new-anchor projection)
 
     with N = d idp_B / d p_cB. Covariance: P' = T P T^T applied as a masked
     row pass then column pass (each feature's rows/cols are disjoint and the
@@ -509,7 +543,7 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
     bo = clone_offset(b_slot)
 
     # current world point + old-anchor Jacobians at the CURRENT estimate
-    p_w, J_idpA, J_thA, _, _, _ = _world_point_and_jac(
+    p_w, J_idpA, J_thA, J_phiA, J_tciA, _ = _world_point_and_jac(
         fs.slam.idp, R_A, p_A, R_ci, fs.t_ci
     )
     idp_B, zB = _idp_of_world(p_w, jnp.tile(R_B[None], (S, 1, 1)), p_B[None], R_ci, fs.t_ci)
@@ -540,6 +574,17 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
         ],
         axis=2,
     )  # (S,3,6)
+    # extrinsic columns: old-anchor chain (J_phiA/J_tciA through p_w) plus the
+    # direct new-anchor projection terms d p_cB = [R_ci v]x dphi + dt_ci
+    u_cb = jnp.einsum("ab,sb->sa", R_ci, v)  # R_ci v
+    G_E = jnp.concatenate(
+        [
+            jnp.einsum("sab,sbc->sac", NRB, J_phiA)
+            + jnp.einsum("sab,sbc->sac", N, skew(u_cb)),
+            jnp.einsum("sab,sbc->sac", NRB, J_tciA) + N,
+        ],
+        axis=2,
+    )  # (S,3,6)
 
     ao_all = clone_offset(a_cur)  # (S,)
     dead = needs & ~ok  # couldn't re-anchor (behind new anchor / no survivor)
@@ -556,10 +601,12 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
     rows_f = P[base : base + nS, :].reshape(S, SLAM_DIM, D)
     rows_a = P[gidx.reshape(-1), :].reshape(S, CLONE_DIM, D)
     rows_b = jax.lax.dynamic_slice(P, (bo, 0), (CLONE_DIM, D))
+    rows_e = P[IDX_EXT_THETA : IDX_EXT_THETA + 6, :]
     new_rows = (
         jnp.einsum("sab,sbd->sad", G_f, rows_f)
         + jnp.einsum("sab,sbd->sad", G_A, rows_a)
         + jnp.einsum("sab,bd->sad", G_B, rows_b)
+        + jnp.einsum("sab,bd->sad", G_E, rows_e)
     )
     keep = ~(ok | dead)
     new_rows = jnp.where(ok[:, None, None], new_rows, rows_f)
@@ -570,10 +617,12 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
     cols_f = P[:, base : base + nS].reshape(D, S, SLAM_DIM)
     cols_a = P[:, gidx.reshape(-1)].reshape(D, S, CLONE_DIM)
     cols_b = jax.lax.dynamic_slice(P, (0, bo), (D, CLONE_DIM))
+    cols_e = P[:, IDX_EXT_THETA : IDX_EXT_THETA + 6]
     new_cols = (
         jnp.einsum("dsb,sab->dsa", cols_f, G_f)
         + jnp.einsum("dsb,sab->dsa", cols_a, G_A)
         + jnp.einsum("db,sab->dsa", cols_b, G_B)
+        + jnp.einsum("db,sab->dsa", cols_e, G_E)
     )
     new_cols = jnp.where(ok[None, :, None], new_cols, cols_f)
     new_cols = jnp.where(keep[None, :, None], cols_f, new_cols)

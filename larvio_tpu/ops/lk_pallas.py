@@ -51,136 +51,6 @@ def _bilinear_from_slab(slab, fx, fy, patch):
     )
 
 
-def _make_feature_body(shapes, patch, iters, precision, ld):
-    """Shared per-feature LK solve over the pyramid.
-
-    ``ld(ref, rows, cols)`` loads a 2D window from an image ref — identity
-    indexing for the single-instance kernel, leading-0 indexing for the
-    batched (B, F) kernel whose image blocks are (1, H, W).
-    shapes: list of (H, W_logical) per level, fine->coarse. The image refs
-    are lane-padded to a multiple of 128 columns; clamping uses the logical
-    width, loads use the padded one."""
-    levels = len(shapes)
-    S = patch + 1
-    n_px = float(patch * patch)
-
-    def pad_w(w):
-        return -(-w // 128) * 128
-
-    def body(prev, curr, gxs, gys, px, py, gpx, gpy, feat_ok):
-        fx0 = gpx - px
-        fy0 = gpy - py
-
-        def slab_at(ref, H, W, cx, cy):
-            # Mosaic requires aligned vector loads: dynamic offsets must be
-            # multiples of the tile (8 sublanes, 128 lanes for f32). Load an
-            # aligned (24, <=256) window (17 needed rows start within the
-            # first 8-row tile, so 24 rows always cover them), rotate rows
-            # into place (cheap sublane roll), STATIC-slice down to the 16
-            # result rows, and only then lane-roll — the lane roll is the
-            # expensive shuffle, and this ordering runs it on 2 row-tiles
-            # instead of 4. Clamping uses logical sizes, loads padded ones.
-            r = patch // 2
-            Wp = pad_w(W)
-            Hp = max(-(-H // 8) * 8, 32)  # must match _pad_hw
-            cxc = jnp.clip(cx, r, W - r - 2.0)
-            cyc = jnp.clip(cy, r, H - r - 2.0)
-            x0 = jnp.floor(cxc).astype(jnp.int32) - r
-            y0 = jnp.floor(cyc).astype(jnp.int32) - r
-            ya = jnp.minimum((y0 // 8) * 8, Hp - 32)
-            ya = pl.multiple_of(ya, 8)
-            if Wp <= 256:
-                wide = ld(ref, pl.ds(ya, 32), slice(None))  # (32, Wp) static width
-                xoff = x0
-            else:
-                xa = jnp.minimum((x0 // 128) * 128, Wp - 256)
-                xa = pl.multiple_of(xa, 128)
-                wide = ld(ref, pl.ds(ya, 32), pl.ds(xa, 256))
-                xoff = x0 - xa
-            rows = pltpu.roll(wide, -(y0 - ya), axis=0)[:S, :]
-            rolled = pltpu.roll(rows, -xoff, axis=1)
-            slab = rolled[:, :S]
-            return slab, cxc - jnp.floor(cxc), cyc - jnp.floor(cyc)
-
-        flow_x, flow_y = fx0, fy0
-        ok = feat_ok
-        err = jnp.float32(0.0)
-
-        for lvl in range(levels - 1, -1, -1):
-            H, W = shapes[lvl]
-            scale = jnp.float32(2.0 ** (-lvl))
-            cx = px * scale
-            cy = py * scale
-
-            tslab, tfx, tfy = slab_at(prev[lvl], H, W, cx, cy)
-            T = _bilinear_from_slab(tslab, tfx, tfy, patch)
-            gxslab, _, _ = slab_at(gxs[lvl], H, W, cx, cy)
-            gyslab, _, _ = slab_at(gys[lvl], H, W, cx, cy)
-            Gx = _bilinear_from_slab(gxslab, tfx, tfy, patch)
-            Gy = _bilinear_from_slab(gyslab, tfx, tfy, patch)
-
-            gxx = jnp.sum(Gx * Gx)
-            gxy = jnp.sum(Gx * Gy)
-            gyy = jnp.sum(Gy * Gy)
-            det = gxx * gyy - gxy * gxy
-            tr = gxx + gyy
-            min_e = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / (2 * n_px)
-            inv_det = 1.0 / jnp.maximum(det, 1e-12)
-            margin = patch // 2 + 1
-            lvl_ok = (
-                (min_e > _MIN_EIG)
-                & (cx >= margin) & (cx <= W - 1 - margin)
-                & (cy >= margin) & (cy <= H - 1 - margin)
-            )
-
-            # Each iteration gathers I at the CURRENT position and computes
-            # the residual there; once the step falls below precision (or the
-            # cap is hit) the position is NOT advanced, so the loop exits with
-            # err already evaluated at the final position — no separate
-            # residual gather per level (was +1 slab of ~5/feature/level).
-            def cond(carry):
-                it, dx, dy, err, done = carry
-                return (it < iters) & (~done)
-
-            def body(carry):
-                it, dx, dy, err, done = carry
-                islab, ifx, ify = slab_at(curr[lvl], H, W, cx + dx, cy + dy)
-                I = _bilinear_from_slab(islab, ifx, ify, patch)
-                e = I - T
-                err = jnp.sum(jnp.abs(e)) / n_px
-                bx = jnp.sum(Gx * e)
-                by = jnp.sum(Gy * e)
-                sx = (gyy * bx - gxy * by) * inv_det
-                sy = (gxx * by - gxy * bx) * inv_det
-                stop = ((sx * sx + sy * sy) < precision * precision) | (
-                    it + 1 >= iters
-                )
-                dx = jnp.where(stop, dx, dx - sx)
-                dy = jnp.where(stop, dy, dy - sy)
-                return it + 1, dx, dy, err, stop
-
-            d0x = flow_x * scale
-            d0y = flow_y * scale
-            _, dxf, dyf, lvl_err, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), d0x, d0y, jnp.float32(0.0), ~lvl_ok)
-            )
-            inb = (
-                (cx + dxf >= 1.0) & (cx + dxf <= W - 2.0)
-                & (cy + dyf >= 1.0) & (cy + dyf <= H - 2.0)
-            )
-            new_ok = lvl_ok & inb
-            # failed level: keep the incoming flow (ops/lk.py semantics)
-            flow_x = jnp.where(new_ok, dxf / scale, flow_x)
-            flow_y = jnp.where(new_ok, dyf / scale, flow_y)
-            if lvl == 0:
-                ok = feat_ok & new_ok & (lvl_err < _MAX_ERR)
-                err = lvl_err
-
-        return px + flow_x, py + flow_y, ok, err
-
-    return body
-
-
 def _make_multi_feature_body(shapes, patch, iters, precision, ld, n):
     """n-features-per-program LK solve with a JOINT per-level iteration loop.
 
@@ -202,7 +72,14 @@ def _make_multi_feature_body(shapes, patch, iters, precision, ld, n):
 
     def body(prev, curr, gxs, gys, pxs, pys, gpxs, gpys, oks):
         def slab_at(ref, H, W, cx, cy):
-            # see _make_feature_body.slab_at — identical addressing
+            # Mosaic requires aligned vector loads: dynamic offsets must be
+            # multiples of the tile (8 sublanes, 128 lanes for f32). Load an
+            # aligned (32, <=256) window, rotate rows into place (cheap
+            # sublane roll), STATIC-slice down to the 16 result rows, then
+            # lane-roll (the expensive shuffle) on 2 row-tiles instead of 4.
+            # NOTE: (24, .) loads + dynamic rolls MISCOMPILE in Mosaic
+            # (silently wrong slabs); stay on (32, .). Clamping uses logical
+            # sizes, loads use the padded ones.
             r = patch // 2
             Wp = pad_w(W)
             Hp = max(-(-H // 8) * 8, 32)  # must match _pad_hw
@@ -334,52 +211,6 @@ def _make_multi_feature_body(shapes, patch, iters, precision, ld, n):
         )
 
     return body
-
-
-def _make_kernel(shapes, patch, iters, precision):
-    """Single-instance kernel: grid (F,), whole pyramids resident in VMEM."""
-    levels = len(shapes)
-    feature = _make_feature_body(
-        shapes, patch, iters, precision, ld=lambda ref, r, c: ref[r, c]
-    )
-
-    def kernel(pos_ref, guess_ref, valid_ref, *refs):
-        # refs layout: [prev_0..prev_L, curr_0..curr_L, gx_0.., gy_0..,
-        #               out_pos, out_valid, out_err]
-        prev = refs[0:levels]
-        curr = refs[levels : 2 * levels]
-        gxs = refs[2 * levels : 3 * levels]
-        gys = refs[3 * levels : 4 * levels]
-        out_pos = refs[4 * levels]
-        out_valid = refs[4 * levels + 1]
-        out_err = refs[4 * levels + 2]
-
-        i = pl.program_id(0)
-        feat_ok = valid_ref[i] > 0
-
-        # invalid slots skip the whole solve (~25% of the table in steady
-        # state); they report the guess position and ok=False
-        @pl.when(feat_ok)
-        def _():
-            ox, oy, ok, err = feature(
-                prev, curr, gxs, gys,
-                pos_ref[i, 0], pos_ref[i, 1],
-                guess_ref[i, 0], guess_ref[i, 1],
-                True,
-            )
-            out_pos[i, 0] = ox
-            out_pos[i, 1] = oy
-            out_valid[i] = jnp.where(ok, jnp.int32(1), jnp.int32(0))
-            out_err[i] = err
-
-        @pl.when(jnp.logical_not(feat_ok))
-        def _():
-            out_pos[i, 0] = guess_ref[i, 0]
-            out_pos[i, 1] = guess_ref[i, 1]
-            out_valid[i] = jnp.int32(0)
-            out_err[i] = jnp.float32(0.0)
-
-    return kernel
 
 
 def _make_kernel_multi(shapes, patch, iters, precision, n):

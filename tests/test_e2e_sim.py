@@ -98,3 +98,28 @@ class TestEndToEnd:
         assert p.shape[1] == 3 and q.shape[1] == 4
         np.testing.assert_allclose(p, outs.p[m], atol=1e-5)
         np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_long_horizon_drift_60s():
+    """Long-run stability: 60 s of noisy IMU + pixel noise must stay
+    reset-free with bounded drift (measured ~0.035 m ATE / 0.18 m max error;
+    bounds leave 3x headroom). Guards against slow-divergence regressions
+    that 15-20 s gates cannot see (bias random walks, FEJ drift, slam churn)."""
+    cfg = VioConfig()
+    sim = Simulator(
+        SimConfig(duration=60.0, pixel_noise=0.002, gyro_noise=0.005,
+                  acc_noise=0.05, gyro_bias=(0.01, -0.02, 0.015),
+                  acc_bias=(0.05, -0.03, 0.08)),
+        cfg,
+    )
+    data = sim.generate()
+    from larvio_tpu.api import run_feature_sequence
+
+    vs, outs = run_feature_sequence(cfg, data)
+    m = np.asarray(outs.initialized, bool)
+    err = np.linalg.norm(np.asarray(outs.p) - data["gt_p"], axis=1)
+    assert int(np.asarray(outs.did_reset).sum()) == 0
+    assert ate_rmse(np.asarray(outs.p)[m], data["gt_p"][m]) < 0.12
+    assert err.max() < 0.5
+    assert np.isfinite(np.asarray(outs.p)).all()

@@ -183,7 +183,7 @@ def qr_compress(H: jnp.ndarray, r: jnp.ndarray, mode: str = "cholqr2"):
     return L.T, r_c
 
 
-def inv_quadform(S: jnp.ndarray, r: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
+def inv_quadform(S: jnp.ndarray, r: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
     """gamma = r^T S^{-1} r for SPD S — custom-call-free (chi-square gates).
 
     The per-feature gate Cholesky lowers to a batched TPU custom call that is
@@ -191,8 +191,9 @@ def inv_quadform(S: jnp.ndarray, r: jnp.ndarray, iters: int = 20) -> jnp.ndarray
     Jacobi-preconditioned Newton-Schulz iteration — X_{k+1} = X_k (2I - A X_k)
     — which is pure batched MXU GEMM work and vmaps for free. Quadratic
     convergence: with the Gershgorin-scaled start the error is squared each
-    step, giving ~1e-6 relative gamma error for cond(S) up to ~1e4 at
-    ``iters=20`` (test_core.py pins this). The gate only compares gamma to a
+    step, giving ~1e-6 relative gamma error for cond(S) up to ~1e5 at
+    ``iters=24`` (test_core.py pins 1e4 plus a 3e4 margin case; bootstrap
+    covariances can push the gate system to ~1e5). The gate only compares gamma to a
     chi-square threshold, so even percent-level error is immaterial — but the
     EKF update itself keeps its exact solve.
 

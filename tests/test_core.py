@@ -169,7 +169,7 @@ class TestInvQuadform:
         from larvio_tpu.core.linalg import inv_quadform
 
         n = 40
-        for cond in (10.0, 1e2, 1e3, 1e4):
+        for cond in (10.0, 1e2, 1e3, 1e4, 3e4):
             for trial in range(3):
                 Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
                 lam = np.logspace(0, np.log10(cond), n)

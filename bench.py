@@ -35,7 +35,16 @@ def main(fleet: int = 0):
 
     n_frames_target = 400  # 20 s @ 20 Hz
     cfg = VioConfig()
-    sim = Simulator(SimConfig(duration=n_frames_target / 20.0, pixel_noise=0.0), cfg)
+    # realistic-noise gate (VERDICT r2 #7): the fps number is conditioned on
+    # accuracy under EuRoC-grade IMU noise + biases and image sensor noise —
+    # a perf change that buys speed by degrading noise robustness fails here,
+    # not only in the (slower) test suite
+    sim = Simulator(
+        SimConfig(duration=n_frames_target / 20.0, gyro_noise=0.005,
+                  acc_noise=0.05, gyro_bias=(0.01, -0.02, 0.015),
+                  acc_bias=(0.05, -0.03, 0.08)),
+        cfg,
+    )
     data = sim.generate()
     T = len(data["t_img"])
 
@@ -49,6 +58,10 @@ def main(fleet: int = 0):
         p_cam = p_w + R_wi.T @ (-R_ci.T @ t_ci)
         imgs.append(rend.render(jnp.asarray(R_cw.T, jnp.float32), jnp.asarray(p_cam, jnp.float32)))
     images = jnp.stack(imgs)
+    # image sensor noise (0-255 scale): ~2 gray levels, the camera-side
+    # counterpart of the feature-level pixel_noise=0.002 gates in tests/
+    noise = jax.random.normal(jax.random.PRNGKey(0), images.shape, images.dtype)
+    images = images + 2.0 * noise
     jax.block_until_ready(images)
 
     frames = FrameInput(
@@ -138,6 +151,7 @@ def main(fleet: int = 0):
                     "frames": int(T),
                     "wall_s": round(best, 3),
                     "ate_m": round(float(ate), 4),
+                    "noise": "imu(0.005/0.05)+bias+image(2/255)",
                     "realtime_factor": round(fps / 20.0, 2),
                     "device": str(jax.devices()[0]),
                 },

@@ -191,8 +191,23 @@ class FilterConfig:
     # spikes in weakly-constrained geometries cannot trigger it
     bootstrap_vel_var: float = 9e-2  # (0.3 m/s)^2
     bootstrap_min_obs: int = 5
+    # measurement underweighting while in bootstrap mode (variance multiplier
+    # on the vision observation noise): the first updates after a reset carry
+    # ~m/s-level velocity residuals whose linearization error otherwise
+    # overshoots into roll/pitch (degrees of injected tilt -> gravity leak).
+    # Softening them trades a few extra frames of velocity convergence for an
+    # attitude that stays at its gyro-integrated accuracy. 1.0 disables.
+    bootstrap_noise_inflation: float = 4.0
     # numerics
     use_fej: bool = True
+    # square-root covariance (SURVEY.md §7 hard part #2): fs.P holds a square
+    # factor S with P = S S^T. Updates/propagation re-compress stacked factors
+    # (core/linalg.psd_factor) so the implied covariance is PSD by
+    # construction — eliminating the f32 Joseph-form collapse class (negative
+    # diagonals under tightly-modeled observation noise) instead of detecting
+    # it after the fact. Default stays Joseph until the sqrt path has matched
+    # perf on TPU; accuracy parity is pinned by tests/test_sqrt_filter.py.
+    sqrt_form: bool = False
 
 
 @dataclass(frozen=True)

@@ -197,6 +197,15 @@ def inv_quadform(S: jnp.ndarray, r: jnp.ndarray, iters: int = 24) -> jnp.ndarray
     chi-square threshold, so even percent-level error is immaterial — but the
     EKF update itself keeps its exact solve.
 
+    GUARDED domain (not assumed): the residual ``max|I - A X|`` bounds the
+    relative gamma error. If the iteration left its convergence radius
+    (indefinite S from f32 corruption, conditioning far beyond 1e5, NaNs),
+    gamma is returned as +inf — the chi-square gate then REJECTS the
+    measurement instead of acting on a garbage statistic. A rejected-good
+    measurement costs one feature-frame of information; an accepted-garbage
+    one corrupts the filter. test_core.py pins the kappa~1e6 behavior:
+    finite => accurate, else +inf, never silent garbage.
+
     S: (n, n) SPD, r: (n,). Batched over leading dims by vmap.
     """
     n = S.shape[-1]
@@ -214,7 +223,71 @@ def inv_quadform(S: jnp.ndarray, r: jnp.ndarray, iters: int = 24) -> jnp.ndarray
 
     X, _ = jax.lax.scan(body, X, None, length=iters, unroll=True)
     X = symmetrize(X)
-    return jnp.dot(rs, mm(X, rs[:, None])[:, 0])
+    gamma = jnp.dot(rs, mm(X, rs[:, None])[:, 0])
+    # convergence guard: one extra (n, n) GEMM. resid ~ relative gamma error
+    # under quadratic convergence; 0.25 tolerates the slow-converging tail of
+    # the cond~1e5 bootstrap systems (resid ~ 1e-2 there) with margin while
+    # catching divergence (resid explodes past 1 within a few iterations).
+    resid = jnp.max(jnp.abs(jnp.eye(n, dtype=S.dtype) - mm(A, X)))
+    ok = jnp.isfinite(gamma) & (gamma >= 0.0) & (resid < 0.25)
+    return jnp.where(ok, gamma, jnp.inf)
+
+
+def psd_factor(M: jnp.ndarray) -> jnp.ndarray:
+    """Square factor S (D, D) with S S^T = M M^T, for a wide factor M (D, W).
+
+    The square-root covariance path (SURVEY.md §7 hard part #2) represents
+    P = S S^T and rebuilds S after steps that widen the factor (Joseph-form
+    update stacks [S - K H S, K sqrt(R)]; propagation stacks the process-noise
+    factor). Implemented as Jacobi-normalized CholeskyQR2 on M^T:
+
+      pass 1:  L1 = chol(corr(G) + eps1 I) in the unit-diagonal scaling
+      pass 2:  B = L1^{-1} D^{-1/2} M  (rows near-orthonormal),
+               S = D^{1/2} L1 chol(B B^T + eps2 I)
+
+    The pass-1 jitter cancels exactly (S S^T = D^{1/2} L1 (B B^T) L1^T D^{1/2}
+    = G in exact arithmetic for ANY nonsingular L1); the pass-2 jitter adds
+    eps2 RELATIVE variance inflation per call (~1e-6 — invisible against
+    process noise). Crucially the result is a legitimate factor whatever the
+    f32 roundoff did: the implied covariance S S^T can NEVER be indefinite,
+    which removes the Joseph-form collapse class (negative diagonal from
+    catastrophic cancellation) by construction.
+
+    Zero rows of M (invalid padded slots) stay structurally zero: their
+    normalized diagonal is the floor value, pass-1/2 factors carry ~sqrt(eps)
+    on the diagonal only, and the rescale by D^{1/2} ~ 1e-10 pushes the
+    implied variance to ~1e-26 — exact-zero semantics for every consumer.
+    """
+    D = M.shape[0]
+    G = symmetrize(mm(M, M.T))
+    d = jnp.diagonal(G)
+    # sanitize: a NaN-poisoned row must not poison the diagonal FALLBACK too
+    d = jnp.where(jnp.isfinite(d), d, 0.0)
+    ds = jnp.sqrt(jnp.maximum(d, 1e-20))
+    eye = jnp.eye(D, dtype=M.dtype)
+    N = G / (ds[:, None] * ds[None, :])
+    L1 = jax.lax.linalg.cholesky(symmetrize(N) + 3e-5 * eye)
+    L1 = jnp.where(jnp.isnan(L1), eye, L1)
+    B = jax.scipy.linalg.solve_triangular(L1, M / ds[:, None], lower=True)
+    G2 = symmetrize(mm(B, B.T))
+    L2 = jax.lax.linalg.cholesky(G2 + 1e-6 * eye)
+    L2 = jnp.where(jnp.isnan(L2), eye, L2)
+    S = ds[:, None] * mm(L1, L2)
+    # containment: a NaN-poisoned M must not silently produce garbage — fall
+    # back to the diagonal factor (the caller's finite-guard then rejects)
+    return jnp.where(jnp.any(jnp.isnan(S)), jnp.diag(ds), S)
+
+
+def psd_chol(Q: jnp.ndarray, rel_jitter: float = 1e-6) -> jnp.ndarray:
+    """Lower Cholesky factor of a small PSD matrix, Jacobi-normalized with
+    relative jitter (process-noise factors for the square-root path)."""
+    d = jnp.diagonal(Q)
+    ds = jnp.sqrt(jnp.maximum(d, 1e-30))
+    N = Q / (ds[:, None] * ds[None, :])
+    eye = jnp.eye(Q.shape[0], dtype=Q.dtype)
+    L = jax.lax.linalg.cholesky(symmetrize(N) + rel_jitter * eye)
+    L = jnp.where(jnp.isnan(L), eye, L)
+    return ds[:, None] * L
 
 
 def joseph_update(P, H, r, noise_var):

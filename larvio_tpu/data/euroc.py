@@ -95,8 +95,12 @@ class EurocSequence:
         return img
 
     def frames(self, cfg: VioConfig, max_frames: Optional[int] = None,
-               skip_frames: int = 0) -> Iterator[dict]:
-        """Yield per-frame dicts: image + padded ImuBatch arrays + t_img."""
+               skip_frames: int = 0, lazy: bool = False) -> Iterator[dict]:
+        """Yield per-frame dicts: image + padded ImuBatch arrays + t_img.
+
+        lazy=True yields "image" as a zero-arg callable instead of the decoded
+        array — the CLI's prefetcher resolves these on a thread pool so PNG
+        decodes run concurrently (cv2 releases the GIL)."""
         S = cfg.filter.imu_slots_per_frame
         imu_sec = self._sec(self.imu_t)
         stamps = self.image_stamps[skip_frames:]
@@ -120,7 +124,11 @@ class EurocSequence:
             ia[:n] = self.imu_a[sel]
             iv[:n] = True
             yield {
-                "image": self.load_image(int(ns)),
+                "image": (
+                    (lambda s=int(ns): self.load_image(s))
+                    if lazy
+                    else self.load_image(int(ns))
+                ),
                 "imu_t": it,
                 "imu_w": iw,
                 "imu_a": ia,

@@ -56,7 +56,9 @@ def inject_init_result(cfg: VioConfig, vs, res: InitResult):
         ba=jnp.asarray(res.ba, dtype),
         p=jnp.zeros(3, dtype),
         p_null=jnp.zeros(3, dtype),
-        P=initial_covariance(cfg, dtype, mode=res.mode),
+        P=(jnp.sqrt(initial_covariance(cfg, dtype, mode=res.mode))
+           if cfg.filter.sqrt_form
+           else initial_covariance(cfg, dtype, mode=res.mode)),
         time=jnp.asarray(res.time, dtype),
         initialized=jnp.asarray(True),
     )

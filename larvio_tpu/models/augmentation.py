@@ -75,13 +75,21 @@ def augment_state(
         J = J.at[0:3, IDX_TD].set(w_body)
         J = J.at[3:6, IDX_TD].set(fs.v)
 
-    JP = mm(J, fs.P)  # (6, D)
-    JPJt = mm(JP, J.T)  # (6, 6)
     off = clone_offset(slot)
-    P = fs.P
-    P = jax.lax.dynamic_update_slice(P, JP, (off, 0))
-    P = jax.lax.dynamic_update_slice(P, JP.T, (0, off))
-    P = jax.lax.dynamic_update_slice(P, JPJt, (off, off))
+    if cfg.filter.sqrt_form:
+        # factor form: the clone error is a LINEAR map of the state error, so
+        # augmentation is a pure row op on the factor — S[slot] <- J S. The
+        # implied covariance picks up the J P rows/cols and J P J^T block
+        # automatically (and stays PSD by construction).
+        JS = mm(J, fs.P)  # (6, D) rows in the factor basis
+        P = jax.lax.dynamic_update_slice(fs.P, JS, (off, 0))
+    else:
+        JP = mm(J, fs.P)  # (6, D)
+        JPJt = mm(JP, J.T)  # (6, 6)
+        P = fs.P
+        P = jax.lax.dynamic_update_slice(P, JP, (off, 0))
+        P = jax.lax.dynamic_update_slice(P, JP.T, (0, off))
+        P = jax.lax.dynamic_update_slice(P, JPJt, (off, off))
     P = jnp.where(do_augment, P, fs.P)
 
     return fs.replace(clones=clones, P=P), jnp.where(do_augment, slot, -1)

@@ -99,6 +99,8 @@ def try_static_init(cfg: VioConfig, fs: FilterState, acc: InitAccumulator):
 
     q0 = gravity_aligned_quat(mean_a)
     P0 = initial_covariance(cfg, fs.P.dtype)
+    if cfg.filter.sqrt_form:
+        P0 = jnp.sqrt(P0)  # diagonal prior -> its factor
 
     fs_new = fs.replace(
         q=jnp.where(do_init, q0, fs.q),

@@ -37,6 +37,7 @@ from larvio_tpu.models.propagation import ImuBatch, propagate
 from larvio_tpu.models.state import (
     IMU_DIM,
     FilterState,
+    cov_diag,
     init_filter_state,
     initial_covariance,
     state_dim,
@@ -94,7 +95,7 @@ def _bootstrap_mode(cfg: VioConfig, fs: FilterState):
     window is still rebuilding (it is always full in steady state) AND velocity
     uncertainty is high."""
     window_building = jnp.sum(fs.clones.valid) < cfg.filter.max_clones - 2
-    high_unc = jnp.max(jnp.diagonal(fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
+    high_unc = jnp.max(cov_diag(cfg, fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
     return window_building & high_unc
 
 
@@ -255,9 +256,17 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         # correcting information when the detector false-positives at slow
         # speed
         do_update = inited & (n_accepted > 0)
+        # measurement underweighting while velocity uncertainty is high (the
+        # window-building condition of _bootstrap_mode is deliberately NOT
+        # required: the window refills within ~1 s of a reset, BEFORE the
+        # first big-residual updates fire — and underweighting a transient
+        # variance spike in normal operation is harmless, unlike consumption)
+        high_unc = jnp.max(cov_diag(cfg, fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
+        obs_var = cfg.noise.observation_noise**2 * jnp.where(
+            high_unc, cfg.filter.bootstrap_noise_inflation, 1.0
+        )
         fs, _ = apply_update(
-            cfg, fs, H_stack, r_stack, cfg.noise.observation_noise**2,
-            enable=do_update,
+            cfg, fs, H_stack, r_stack, obs_var, enable=do_update,
         )
 
     # retire dead rows, clear pruned clone slots
@@ -322,8 +331,14 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         H_b = jnp.concatenate([slam_H, consume_blocks.H.reshape(-1, D)], axis=0)
         r_b = jnp.concatenate([slam_r, consume_blocks.r.reshape(-1)], axis=0)
         n_acc_b = jnp.sum(slam_accept) + jnp.sum(consume_blocks.accept)
+        # re-evaluate underweighting: the marginalizing update above may have
+        # already collapsed the velocity uncertainty out of the high-unc range
+        high_unc_b = jnp.max(cov_diag(cfg, fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
+        obs_var_b = cfg.noise.observation_noise**2 * jnp.where(
+            high_unc_b, cfg.filter.bootstrap_noise_inflation, 1.0
+        )
         fs, dx = apply_update(
-            cfg, fs, H_b, r_b, cfg.noise.observation_noise**2,
+            cfg, fs, H_b, r_b, obs_var_b,
             enable=inited & (n_acc_b > 0),
         )
         # ---- 7. slam lifecycle: promote consumed candidates, drop lost ------
@@ -348,17 +363,91 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # diagonal in the always-estimated IMU block means f32 corruption (an
     # overconfident filter silently freezes at a wrong state; observed with
     # tightly-modeled observation noise)
-    diagP = jnp.diagonal(fs.P)
+    diagP = cov_diag(cfg, fs.P)
     pos_var = diagP[12:15]
     blown = (
         (jnp.max(pos_var) > cfg.filter.position_std_threshold**2)
         | ~jnp.all(jnp.isfinite(diagP))
+        | ~(jnp.all(jnp.isfinite(fs.q)) & jnp.all(jnp.isfinite(fs.p))
+            & jnp.all(jnp.isfinite(fs.v)))
         | (inited & (jnp.min(diagP[:IMU_DIM]) <= 0.0))
     )
     do_reset = blown & inited
-    P_reset = initial_covariance(cfg, dtype)
+    # reset prior: the DYNAMIC-mode covariance, not the static one — an online
+    # reset almost always happens mid-motion, and restarting v=0 under the
+    # static prior (sigma_v = 0.1 m/s) makes a ~1 m/s true velocity an 11-sigma
+    # "impossible" error the chi2 gates then fight for the rest of the run.
+    # The in-motion prior (sigma_v = 0.5, loose roll/pitch) matches the actual
+    # post-reset uncertainty and lets bootstrap consumption pull velocity in.
+    #
+    # Calibration states that SURVIVED the fault finite (bg/ba/td) keep their
+    # hard-won certainty: re-opening sigma_ba to 0.15 / sigma_td to 25 ms lets
+    # the first post-reset updates dump the velocity transient into the slow
+    # calibration states, which then takes tens of seconds to undo (observed:
+    # ba error 0.01 -> 0.18, td swinging +-10 ms, velocity oscillating ~0.5
+    # m/s for the rest of the run). Tight-but-adaptive priors on surviving
+    # calibration keep the transient in the fast states where vision can
+    # correct it in a few frames.
+    P_reset = initial_covariance(cfg, dtype, mode="dynamic")
+    ar = jnp.arange(P_reset.shape[0])
+
+    def _cal_var(P, i0, n, var_keep, survived):
+        # gate on the STATE surviving finite, not on the old P: P is exactly
+        # what went non-finite in a NaN fault, yet a finite estimate carries
+        # its pre-fault accuracy regardless
+        m = (ar >= i0) & (ar < i0 + n)
+        new_d = jnp.where(m & survived, var_keep, jnp.diagonal(P))
+        return jnp.fill_diagonal(P, new_d, inplace=False)
+
+    # attitude survives most faults finite (gyro-only integration drifts only
+    # ~0.1 deg/s with a good bg) — and it is the MOST expensive state to
+    # re-open: a 0.12 rad roll/pitch prior lets the first big-velocity-residual
+    # updates inject ~3 deg of tilt, whose gravity leak (0.5 m/s^2) then drives
+    # a multi-ten-second velocity oscillation (observed). Keep roll/pitch at
+    # the static-init trust level when q survived.
+    q_ok = jnp.all(jnp.isfinite(fs.q))
+    P_reset = _cal_var(P_reset, 0, 2, jnp.asarray(0.03, dtype) ** 2, q_ok)
+    P_reset = _cal_var(P_reset, 2, 1, jnp.asarray(0.1, dtype) ** 2, q_ok)
+    P_reset = _cal_var(P_reset, 3, 3, jnp.asarray(0.01, dtype) ** 2,
+                       jnp.all(jnp.isfinite(fs.bg)))
+    P_reset = _cal_var(P_reset, 9, 3, jnp.asarray(0.05, dtype) ** 2,
+                       jnp.all(jnp.isfinite(fs.ba)))
+    if cfg.filter.estimate_td:
+        from larvio_tpu.models.state import IDX_TD
+        P_reset = _cal_var(P_reset, IDX_TD, 1, jnp.asarray(5e-3, dtype) ** 2,
+                           jnp.isfinite(fs.td))
+    # the reset must also sanitize the NOMINAL state: a NaN-poisoned
+    # propagation (corrupted IMU) leaves q/p/bg/ba non-finite, and resetting
+    # P alone would freeze the filter in a NaN state forever. Non-finite
+    # components restart from neutral values (identity attitude, zero
+    # bias/velocity/position — odometry restarts its own origin, like the
+    # reference's onlineReset re-seeding from scratch); FEJ nulls restart at
+    # the sanitized estimates.
+    def _san(x, fallback):
+        bad = do_reset & ~jnp.all(jnp.isfinite(x))
+        return jnp.where(bad, jnp.asarray(fallback, dtype), x)
+
+    q_s = _san(fs.q, jnp.array([0.0, 0.0, 0.0, 1.0]))
+    # a FINITE velocity estimate survives the reset (a variance blow-up's v is
+    # still far closer to truth than 0); only a non-finite v restarts at zero
+    v_s = _san(fs.v, jnp.zeros(3))
+    p_s = _san(fs.p, jnp.zeros(3))
+    bg_s = _san(fs.bg, jnp.zeros(3))
+    ba_s = _san(fs.ba, jnp.zeros(3))
+    t_s = _san(fs.time, feats.t)
+    td_s = _san(fs.td, cfg.filter.td_initial)
     fs = fs.replace(
-        P=jnp.where(do_reset, P_reset, fs.P),
+        # sqrt mode: fs.P holds a factor — the diagonal reset prior's
+        # factor is its elementwise sqrt
+        P=jnp.where(
+            do_reset,
+            jnp.sqrt(P_reset) if cfg.filter.sqrt_form else P_reset,
+            fs.P,
+        ),
+        q=q_s, v=v_s, p=p_s, bg=bg_s, ba=ba_s, time=t_s, td=td_s,
+        q_null=jnp.where(do_reset, q_s, fs.q_null),
+        v_null=jnp.where(do_reset, v_s, fs.v_null),
+        p_null=jnp.where(do_reset, p_s, fs.p_null),
         clones=fs.clones.replace(valid=fs.clones.valid & ~do_reset),
         slam=fs.slam.replace(
             valid=fs.slam.valid & ~do_reset,
@@ -370,7 +459,6 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             valid=fs.obs.valid & ~do_reset,
             track_id=jnp.where(do_reset, -1, fs.obs.track_id),
         ),
-        v=jnp.where(do_reset, 0.0, fs.v),
         reset_count=fs.reset_count + do_reset.astype(jnp.int32),
         frame=fs.frame + 1,
         stationary=stationary,
@@ -390,8 +478,8 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         n_tracks=n_tracked,
         n_updated=jnp.where(do_update, n_accepted, 0),
         n_slam=jnp.sum(fs.slam.valid),
-        p_std=jnp.sqrt(jnp.maximum(jnp.diagonal(fs.P)[12:15], 0.0)),
-        v_std=jnp.sqrt(jnp.maximum(jnp.diagonal(fs.P)[6:9], 0.0)),
+        p_std=jnp.sqrt(jnp.maximum(cov_diag(cfg, fs.P)[12:15], 0.0)),
+        v_std=jnp.sqrt(jnp.maximum(cov_diag(cfg, fs.P)[6:9], 0.0)),
         did_reset=do_reset,
     )
     return VioState(filter=fs, init_acc=acc), out

@@ -223,9 +223,24 @@ def _propagate_parallel(cfg, fs, imu, t_target_img):
     p_prev_chain = jnp.concatenate([fs.p[None], p_chain[:-1]], axis=0)
 
     # --- per-slot Phi / Qd (parallel), FEJ nulls lag the estimates ------------
-    q_null_chain = jnp.concatenate([fs.q_null[None], q_chain[:-1]], axis=0)
-    v_null_chain = jnp.concatenate([fs.v_null[None], v_chain[:-1]], axis=0)
-    p_null_chain = jnp.concatenate([fs.p_null[None], p_chain[:-1]], axis=0)
+    # The null linearization point for step i is the estimate at the end of
+    # the last REAL (dt>0) step before i — or fs.*_null if none has happened
+    # yet. The previous-chain value alone is wrong for the first real step
+    # when leading slots are no-ops (slot 0 is always the zero-length seed):
+    # it would substitute the current ESTIMATE for the first-estimate null,
+    # silently defeating FEJ exactly where the post-update estimate/null gap
+    # lives (matches _propagate_sequential, which carries the null through
+    # no-op slots).
+    stepped = dt > 0.0
+    real_before = jnp.concatenate(
+        [jnp.zeros((1,), bool), jnp.cumsum(stepped.astype(jnp.int32))[:-1] > 0]
+    )
+    q_prev_for_null = jnp.concatenate([fs.q[None], q_chain[:-1]], axis=0)
+    v_prev_for_null = jnp.concatenate([fs.v[None], v_chain[:-1]], axis=0)
+    p_prev_for_null = jnp.concatenate([fs.p[None], p_chain[:-1]], axis=0)
+    q_null_chain = jnp.where(real_before[:, None], q_prev_for_null, fs.q_null[None, :])
+    v_null_chain = jnp.where(real_before[:, None], v_prev_for_null, fs.v_null[None, :])
+    p_null_chain = jnp.where(real_before[:, None], p_prev_for_null, fs.p_null[None, :])
     w_hat = 0.5 * (w0 + w1)
     a_hat = 0.5 * (a0 + a1)
     Phi_s, Qd_s = jax.vmap(
@@ -247,25 +262,44 @@ def _propagate_parallel(cfg, fs, imu, t_target_img):
     S_after = jnp.concatenate([R_suffix[1:], eye15[None]], axis=0)
     Q_acc = jnp.sum(mm(mm(S_after, Qd_s), jnp.swapaxes(S_after, -1, -2)), axis=0)
 
-    # --- apply the frame transition to the covariance once --------------------
-    P = fs.P
-    top = mm(Phi_acc, P[:IMU_DIM, :])
-    P = P.at[:IMU_DIM, :].set(top)
-    P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi_acc.T))
-    P = P.at[:IMU_DIM, :IMU_DIM].add(Q_acc)
+    P = _apply_frame_transition(cfg, fs.P, Phi_acc, Q_acc)
 
     q_new = quat_normalize(q_chain[-1])
     return fs.replace(
         q=q_new, v=v_chain[-1], p=p_chain[-1],
         q_null=q_new, v_null=v_chain[-1], p_null=p_chain[-1],
-        P=symmetrize(P), time=t_target,
+        P=P, time=t_target,
     )
 
 
+def _apply_frame_transition(cfg, P, Phi_acc, Q_acc):
+    """P <- diag(Phi,I) P diag(Phi,I)^T + diag(Q,0), in dense or factor form.
+
+    Factor form (sqrt_form): the transition is a row op on the factor
+    (S[:15] <- Phi S[:15]); the process noise stacks its own factor as 15
+    extra columns, and psd_factor re-compresses — the propagated covariance
+    is PSD by construction.
+    """
+    if cfg.filter.sqrt_form:
+        from larvio_tpu.core.linalg import psd_chol, psd_factor
+
+        S = P.at[:IMU_DIM, :].set(mm(Phi_acc, P[:IMU_DIM, :]))
+        Lq = psd_chol(Q_acc)
+        col = jnp.zeros((S.shape[0], IMU_DIM), S.dtype).at[:IMU_DIM, :].set(Lq)
+        return psd_factor(jnp.concatenate([S, col], axis=1))
+    top = mm(Phi_acc, P[:IMU_DIM, :])
+    P = P.at[:IMU_DIM, :].set(top)
+    P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi_acc.T))
+    P = P.at[:IMU_DIM, :IMU_DIM].add(Q_acc)
+    return symmetrize(P)
+
+
 def _propagate_sequential(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.ndarray) -> FilterState:
-    """Reference sequential implementation (kept as the correctness baseline
-    for tests/test_filter.py; the parallel version above is the production
-    path)."""
+    """Reference sequential implementation — the correctness baseline the
+    production parallel path is diffed against
+    (tests/test_filter.py::TestPropagationParallelEquivalence: full batch,
+    clamped/interpolated endpoint, all-padding no-op, pre-sample target,
+    nonzero td, FEJ null offsets)."""
     dtype = fs.P.dtype
     t_target = t_target_img + fs.td
 
@@ -338,14 +372,10 @@ def _propagate_sequential(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_targ
 
     # apply the accumulated frame transition to the full covariance once:
     # P <- diag(Phi,I) P diag(Phi,I)^T + diag(Q,0)
-    P = fs.P
-    top = mm(Phi_acc, P[:IMU_DIM, :])
-    P = P.at[:IMU_DIM, :].set(top)
-    P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi_acc.T))
-    P = P.at[:IMU_DIM, :IMU_DIM].add(Q_acc)
+    P = _apply_frame_transition(cfg, fs.P, Phi_acc, Q_acc)
 
     return fs.replace(
         q=q, bg=bg, v=v, ba=ba, p=p,
         q_null=q_null, v_null=v_null, p_null=p_null,
-        P=symmetrize(P), time=t_target,
+        P=P, time=t_target,
     )

@@ -66,13 +66,17 @@ def remove_clones(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune) -> 
     clones = fs.clones.replace(valid=fs.clones.valid & ~sel)
     obs = fs.obs.replace(valid=fs.obs.valid & ~sel[None, :])
 
-    # zero covariance rows/cols of both slots (exactness of the padded P)
+    # zero covariance rows/cols of both slots (exactness of the padded P).
+    # Factor form: zeroing the slot's ROWS of S zeroes the implied P rows AND
+    # cols (P = S S^T); the slot's factor columns are basis directions shared
+    # with other states and must NOT be zeroed.
     P = fs.P
     zero6 = jnp.zeros((CLONE_DIM, D), P.dtype)
     for slot in (slot_a, slot_b):
         off = clone_offset(slot)
         Pa = jax.lax.dynamic_update_slice(P, zero6, (off, 0))
-        Pa = jax.lax.dynamic_update_slice(Pa, zero6.T, (0, off))
+        if not cfg.filter.sqrt_form:
+            Pa = jax.lax.dynamic_update_slice(Pa, zero6.T, (0, off))
         P = jnp.where(do_prune, Pa, P)
 
     return fs.replace(clones=clones, obs=obs, P=P)

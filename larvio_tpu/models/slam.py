@@ -240,7 +240,12 @@ def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot)
 
     # chi2 gate (2 dof) per feature
     Hf2 = H.reshape(S, 2, D)
-    Svar = jnp.einsum("sid,de,sje->sij", Hf2, fs.P, Hf2) + sigma2 * jnp.eye(2, dtype=dtype)
+    if cfg.filter.sqrt_form:
+        # H P H^T = (H S)(H S)^T — PSD by construction in factor form
+        HS = jnp.einsum("sid,de->sie", Hf2, fs.P)
+        Svar = jnp.einsum("sie,sje->sij", HS, HS) + sigma2 * jnp.eye(2, dtype=dtype)
+    else:
+        Svar = jnp.einsum("sid,de,sje->sij", Hf2, fs.P, Hf2) + sigma2 * jnp.eye(2, dtype=dtype)
     # closed-form 2x2 inverse (batched LU custom-calls are pure overhead here)
     det = Svar[:, 0, 0] * Svar[:, 1, 1] - Svar[:, 0, 1] * Svar[:, 1, 0]
     det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
@@ -333,11 +338,16 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
         rhs = r3 - mm(H3, dx[:, None])[:, 0]
         df = jax.scipy.linalg.solve_triangular(Rf, rhs[:, None], lower=False)[:, 0]
         E = jax.scipy.linalg.solve_triangular(Rf, H3, lower=False)  # (3,D)
-        P_fx = -mm(E, fs.P)  # (3, D) — fs.P is the posterior here
+        # dense: P_fx = -E P. sqrt: fs.P holds the factor S, so the SAME
+        # expression yields the feature's factor rows -E S (P_fx S^T = -E P).
+        P_fx = -mm(E, fs.P)  # (3, D)
         RfinvT = jax.scipy.linalg.solve_triangular(
             Rf, jnp.eye(3, dtype=dtype), lower=False
         )  # Rf^-1
-        P_ff = -mm(P_fx, E.T) + sigma2 * mm(RfinvT, RfinvT.T)
+        if cfg.filter.sqrt_form:
+            P_ff = mm(P_fx, P_fx.T) + sigma2 * mm(RfinvT, RfinvT.T)
+        else:
+            P_ff = -mm(P_fx, E.T) + sigma2 * mm(RfinvT, RfinvT.T)
         P_ff = 0.5 * (P_ff + P_ff.T)
 
         # world -> anchored-idp error transform. The anchored point depends on
@@ -358,25 +368,31 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
             [J_thA, jnp.eye(3, dtype=dtype), J_phi[0], J_tci[0]], axis=1
         )  # (3,12) against rows [anchor(6); ext(6)]
         T = inv3(J_idp)
-        P_fae = jnp.concatenate(
-            [
-                jax.lax.dynamic_slice(P_fx, (0, ao), (3, CLONE_DIM)),
-                P_fx[:, IDX_EXT_THETA : IDX_EXT_THETA + 6],
-            ],
-            axis=1,
-        )  # (3,12)
+        # P_idp_x: dense rows T(P_fx - A12 P_ae) of the covariance — or, in
+        # sqrt mode, the feature's FACTOR rows (P_fx/P_ae_rows are then factor
+        # rows and the identical congruence applies in the factor basis)
         P_idp_x = mm(T, P_fx - mm(A12, P_ae_rows))  # (3,D)
-        core = (
-            P_ff - mm(P_fae, A12.T) - mm(A12, P_fae.T)
-            + mm(A12, mm(P_aaee, A12.T))
-        )
-        P_idp = mm(T, mm(core, T.T))
+        W = mm(T, RfinvT)  # noise-injection factor (sqrt of sigma2 W W^T)
+        if cfg.filter.sqrt_form:
+            P_idp = mm(P_idp_x, P_idp_x.T) + sigma2 * mm(W, W.T)
+        else:
+            P_fae = jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice(P_fx, (0, ao), (3, CLONE_DIM)),
+                    P_fx[:, IDX_EXT_THETA : IDX_EXT_THETA + 6],
+                ],
+                axis=1,
+            )  # (3,12)
+            core = (
+                P_ff - mm(P_fae, A12.T) - mm(A12, P_fae.T)
+                + mm(A12, mm(P_aaee, A12.T))
+            )
+            P_idp = mm(T, mm(core, T.T))
         P_idp = 0.5 * (P_idp + P_idp.T)
-        return idp_hat, zA, P_idp_x, P_idp, df, E, P_fx, A12, T
+        return idp_hat, zA, P_idp_x, P_idp, df, E, P_fx, A12, T, W
 
-    idp_all, zA_all, P_fx_all, P_ff_all, df_all, E_all, P_fx_raw, A12_all, T_all = jax.vmap(
-        init_of
-    )(jnp.arange(S))
+    (idp_all, zA_all, P_fx_all, P_ff_all, df_all, E_all, P_fx_raw, A12_all,
+     T_all, W_all) = jax.vmap(init_of)(jnp.arange(S))
 
     # CROSS-covariance between co-promoted features — co-promoted features
     # share the same state errors through their H3 blocks, so leaving these
@@ -387,26 +403,29 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
     #                        + A_i P_aa A_j^T] T_j^T,   X_i = P_fx_i[:, a6]
     # (measurement noises of distinct features are independent — no sigma^2
     # cross term).
-    X_all = jax.vmap(
-        lambda Pf: jnp.concatenate(
-            [
-                jax.lax.dynamic_slice(Pf, (0, ao), (3, CLONE_DIM)),
-                Pf[:, IDX_EXT_THETA : IDX_EXT_THETA + 6],
-            ],
-            axis=1,
-        )
-    )(P_fx_raw)  # (S,3,12)
+    # (sqrt mode: the cross blocks are IMPLIED by the shared factor columns of
+    # the co-promoted rows — no explicit algebra, and exactly consistent.)
+    if not cfg.filter.sqrt_form:
+        X_all = jax.vmap(
+            lambda Pf: jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice(Pf, (0, ao), (3, CLONE_DIM)),
+                    Pf[:, IDX_EXT_THETA : IDX_EXT_THETA + 6],
+                ],
+                axis=1,
+            )
+        )(P_fx_raw)  # (S,3,12)
 
-    def cross_of(i, j):
-        m1 = -mm(P_fx_raw[i], E_all[j].T)  # E_i P E_j^T  (P_fx = -E P)
-        m2 = -mm(X_all[i], A12_all[j].T)  # -X_i A_j^T
-        m3 = -mm(A12_all[i], X_all[j].T)  # -A_i X_j^T
-        m4 = mm(A12_all[i], mm(P_aaee, A12_all[j].T))
-        return mm(T_all[i], mm(m1 + m2 + m3 + m4, T_all[j].T))
+        def cross_of(i, j):
+            m1 = -mm(P_fx_raw[i], E_all[j].T)  # E_i P E_j^T  (P_fx = -E P)
+            m2 = -mm(X_all[i], A12_all[j].T)  # -X_i A_j^T
+            m3 = -mm(A12_all[i], X_all[j].T)  # -A_i X_j^T
+            m4 = mm(A12_all[i], mm(P_aaee, A12_all[j].T))
+            return mm(T_all[i], mm(m1 + m2 + m3 + m4, T_all[j].T))
 
-    cross_all = jax.vmap(
-        lambda i: jax.vmap(lambda j: cross_of(i, j))(jnp.arange(S))
-    )(jnp.arange(S))  # (S,S,3,3)
+        cross_all = jax.vmap(
+            lambda i: jax.vmap(lambda j: cross_of(i, j))(jnp.arange(S))
+        )(jnp.arange(S))  # (S,S,3,3)
 
     # only promote features whose initialization is well-constrained — a
     # promoted feature's linearization point is (FEJ-)frozen. With inverse
@@ -468,25 +487,39 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
     old_rows = P[base : base + nS, :].reshape(S, SLAM_DIM, D)
     rows_full = jnp.where(tk[:, None, None], sel_c(P_fx_all), old_rows)
     P = P.at[base : base + nS, :].set(rows_full.reshape(nS, D))
-    # column pass: mirror the rows (P_fx^T per taken slot)
-    old_cols = P[:, base : base + nS].reshape(D, S, SLAM_DIM)
-    cols_full = jnp.where(
-        tk[None, :, None], jnp.transpose(rows_full, (2, 0, 1)), old_cols
-    )
-    P = P.at[:, base : base + nS].set(cols_full.reshape(D, nS))
-    # slam-block interior: taken diagonals get P_ff; taken-taken off-diagonal
-    # pairs get the exact cross blocks (their P_fx columns were zero — each was
-    # computed before any sibling existed)
-    blk = P[base : base + nS, base : base + nS].reshape(S, SLAM_DIM, S, SLAM_DIM)
-    M = cross_all[cand_of_slot[:, None], cand_of_slot[None, :]]  # (S,S,3,3)
-    M = jnp.transpose(M, (0, 2, 1, 3))  # -> (S,3,S,3)
-    pair = tk[:, None] & tk[None, :]
-    off_diag = pair & ~jnp.eye(S, dtype=bool)
-    blk = jnp.where(off_diag[:, None, :, None], M, blk)
-    diag = P_ff_all[cand_of_slot]  # (S,3,3)
-    eye_pair = tk[:, None] & tk[None, :] & jnp.eye(S, dtype=bool)
-    blk = jnp.where(eye_pair[:, None, :, None], diag[:, :, None, :], blk)
-    P = P.at[base : base + nS, base : base + nS].set(blk.reshape(nS, nS))
+    if cfg.filter.sqrt_form:
+        # factor form: the rows T(-E S - A12 S_ae) already encode every
+        # cross-covariance with the state AND between co-promoted siblings
+        # (shared factor columns). The only missing piece is the feature's own
+        # measurement noise sigma^2 W W^T — written as the factor sigma W into
+        # the slot's OWN columns, which are structurally zero while the slot
+        # is invalid (psd_factor re-zeroes freed slots every frame), so the
+        # noise stays uncorrelated with everything else, exactly.
+        sigW = jnp.sqrt(sigma2) * sel_c(W_all)  # (S,3,3)
+        blk = P[base : base + nS, base : base + nS].reshape(S, SLAM_DIM, S, SLAM_DIM)
+        eye_pair = tk[:, None] & tk[None, :] & jnp.eye(S, dtype=bool)
+        blk = blk + sigW[:, :, None, :] * eye_pair[:, None, :, None]
+        P = P.at[base : base + nS, base : base + nS].set(blk.reshape(nS, nS))
+    else:
+        # column pass: mirror the rows (P_fx^T per taken slot)
+        old_cols = P[:, base : base + nS].reshape(D, S, SLAM_DIM)
+        cols_full = jnp.where(
+            tk[None, :, None], jnp.transpose(rows_full, (2, 0, 1)), old_cols
+        )
+        P = P.at[:, base : base + nS].set(cols_full.reshape(D, nS))
+        # slam-block interior: taken diagonals get P_ff; taken-taken
+        # off-diagonal pairs get the exact cross blocks (their P_fx columns
+        # were zero — each was computed before any sibling existed)
+        blk = P[base : base + nS, base : base + nS].reshape(S, SLAM_DIM, S, SLAM_DIM)
+        M = cross_all[cand_of_slot[:, None], cand_of_slot[None, :]]  # (S,S,3,3)
+        M = jnp.transpose(M, (0, 2, 1, 3))  # -> (S,3,S,3)
+        pair = tk[:, None] & tk[None, :]
+        off_diag = pair & ~jnp.eye(S, dtype=bool)
+        blk = jnp.where(off_diag[:, None, :, None], M, blk)
+        diag = P_ff_all[cand_of_slot]  # (S,3,3)
+        eye_pair = tk[:, None] & tk[None, :] & jnp.eye(S, dtype=bool)
+        blk = jnp.where(eye_pair[:, None, :, None], diag[:, :, None, :], blk)
+        P = P.at[base : base + nS, base : base + nS].set(blk.reshape(nS, nS))
 
     return fs.replace(
         slam=fs.slam.replace(
@@ -614,20 +647,24 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
     new_rows = jnp.where(dead[:, None, None], 0.0, new_rows)
     P = P.at[base : base + nS, :].set(new_rows.reshape(nS, D))
 
-    cols_f = P[:, base : base + nS].reshape(D, S, SLAM_DIM)
-    cols_a = P[:, gidx.reshape(-1)].reshape(D, S, CLONE_DIM)
-    cols_b = jax.lax.dynamic_slice(P, (0, bo), (D, CLONE_DIM))
-    cols_e = P[:, IDX_EXT_THETA : IDX_EXT_THETA + 6]
-    new_cols = (
-        jnp.einsum("dsb,sab->dsa", cols_f, G_f)
-        + jnp.einsum("dsb,sab->dsa", cols_a, G_A)
-        + jnp.einsum("db,sab->dsa", cols_b, G_B)
-        + jnp.einsum("db,sab->dsa", cols_e, G_E)
-    )
-    new_cols = jnp.where(ok[None, :, None], new_cols, cols_f)
-    new_cols = jnp.where(keep[None, :, None], cols_f, new_cols)
-    new_cols = jnp.where(dead[None, :, None], 0.0, new_cols)
-    P = P.at[:, base : base + nS].set(new_cols.reshape(D, nS))
+    if not cfg.filter.sqrt_form:
+        # dense only: mirror the congruence on the columns. In factor form the
+        # row pass IS the whole transform (P' = (T S)(T S)^T) — factor columns
+        # are shared basis directions and must not be touched.
+        cols_f = P[:, base : base + nS].reshape(D, S, SLAM_DIM)
+        cols_a = P[:, gidx.reshape(-1)].reshape(D, S, CLONE_DIM)
+        cols_b = jax.lax.dynamic_slice(P, (0, bo), (D, CLONE_DIM))
+        cols_e = P[:, IDX_EXT_THETA : IDX_EXT_THETA + 6]
+        new_cols = (
+            jnp.einsum("dsb,sab->dsa", cols_f, G_f)
+            + jnp.einsum("dsb,sab->dsa", cols_a, G_A)
+            + jnp.einsum("db,sab->dsa", cols_b, G_B)
+            + jnp.einsum("db,sab->dsa", cols_e, G_E)
+        )
+        new_cols = jnp.where(ok[None, :, None], new_cols, cols_f)
+        new_cols = jnp.where(keep[None, :, None], cols_f, new_cols)
+        new_cols = jnp.where(dead[None, :, None], 0.0, new_cols)
+        P = P.at[:, base : base + nS].set(new_cols.reshape(D, nS))
 
     slam = fs.slam.replace(
         idp=jnp.where(ok[:, None], idp_B, fs.slam.idp),
@@ -665,7 +702,9 @@ def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
         off = slam_offset(cfg, s)
         zero_rows = jnp.zeros((SLAM_DIM, D), P.dtype)
         Pa = jax.lax.dynamic_update_slice(P, zero_rows, (off, 0))
-        Pa = jax.lax.dynamic_update_slice(Pa, zero_rows.T, (0, off))
+        if not cfg.filter.sqrt_form:
+            # factor form: zero rows alone zero the implied P rows AND cols
+            Pa = jax.lax.dynamic_update_slice(Pa, zero_rows.T, (0, off))
         return jnp.where(drop[s], Pa, P), None
 
     P, _ = jax.lax.scan(clear, P, jnp.arange(S))

@@ -143,6 +143,14 @@ class FilterState:
     reset_count: jnp.ndarray  # () int32 online-reset counter
 
 
+def cov_diag(cfg: VioConfig, P: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal of the covariance — `fs.P` holds either P itself or, in
+    square-root form, a factor S with P = S S^T (row square-sums)."""
+    if cfg.filter.sqrt_form:
+        return jnp.sum(P * P, axis=-1)
+    return jnp.diagonal(P, axis1=-2, axis2=-1)
+
+
 def init_filter_state(cfg: VioConfig, dtype=jnp.float32) -> FilterState:
     C = cfg.filter.max_clones
     S = max(cfg.filter.max_slam_features, 1)

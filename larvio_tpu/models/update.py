@@ -32,6 +32,7 @@ from larvio_tpu.core.linalg import (
     inv_quadform,
     joseph_update,
     mm,
+    psd_factor,
     qr_compress,
     symmetrize,
 )
@@ -187,8 +188,13 @@ def feature_block(cfg: VioConfig, fs: FilterState, p_w, uv, row_mask, tri_valid)
     # chi-square gate (ref:gatingTest): gamma = r^T (H P H^T + s2 I)^-1 r,
     # via the custom-call-free Newton-Schulz quadform (core/linalg.py) — the
     # batched gate Cholesky was the single most expensive custom call in the
-    # frame step
-    S = mm(H_o, mm(fs.P, H_o.T)) + sigma2 * jnp.eye(2 * C, dtype=fs.P.dtype)
+    # frame step. In square-root form H P H^T = (H S)(H S)^T is PSD by
+    # construction, so the gate system is always legitimately SPD.
+    if cfg.filter.sqrt_form:
+        T = mm(H_o, fs.P)  # fs.P holds the factor S
+        S = mm(T, T.T) + sigma2 * jnp.eye(2 * C, dtype=fs.P.dtype)
+    else:
+        S = mm(H_o, mm(fs.P, H_o.T)) + sigma2 * jnp.eye(2 * C, dtype=fs.P.dtype)
     gamma = inv_quadform(S, r_o)
     n_obs = jnp.sum(mask_s)
     dof = jnp.maximum(2 * n_obs - 3, 1)
@@ -273,13 +279,40 @@ def prune_feature_block(cfg: VioConfig, fs: FilterState, p_w, uv2, slots, row_ok
     H_row, r_row = H_o[3], r_o[3]
 
     # scalar chi2 gate (dof = 2*2 - 3 = 1)
-    s = jnp.dot(H_row, mm(fs.P, H_row[:, None])[:, 0]) + sigma2
+    if cfg.filter.sqrt_form:
+        Sh = mm(H_row[None, :], fs.P)[0]  # H S: (D,) in factor basis
+        s = jnp.dot(Sh, Sh) + sigma2
+    else:
+        s = jnp.dot(H_row, mm(fs.P, H_row[:, None])[:, 0]) + sigma2
     gamma = r_row * r_row / s
     gate_ok = gamma < chi2_inv(jnp.asarray(1), cfg.filter.chi2_confidence)
     accept = tri_valid & gate_ok & row_ok.all()
     H_row = jnp.where(accept, H_row, 0.0)
     r_row = jnp.where(accept, r_row, 0.0)
     return H_row, r_row, accept
+
+
+def sqrt_update(S, H, r):
+    """EKF update on the covariance FACTOR (P = S S^T), whitened rows (R = I).
+
+    The Joseph form P' = (I-KH) P (I-KH)^T + K R K^T is, in factor language,
+    P' = M M^T with M = [(I-KH) S, K] = [S - K (H S), K] — stacking instead of
+    multiply-and-add means nothing is ever SUBTRACTED from P, so the f32
+    collapse class (catastrophic cancellation driving diag(P) negative under
+    tightly-modeled noise) cannot occur: psd_factor re-compresses M into a
+    square factor whose implied covariance is PSD by construction.
+
+    Returns (dx, S_new). H: (n, D), r: (n,).
+    """
+    T = mm(H, S)  # (n, D) — H in the factor basis
+    n = H.shape[0]
+    Sy = mm(T, T.T) + jnp.eye(n, dtype=S.dtype)
+    chol = jax.lax.linalg.cholesky(symmetrize(Sy))
+    PHt = mm(S, T.T)  # (D, n)
+    K = jax.scipy.linalg.cho_solve((chol, True), PHt.T).T  # (D, n)
+    dx = mm(K, r[:, None])[:, 0]
+    M = jnp.concatenate([S - mm(K, T), K], axis=1)  # (D, D+n)
+    return dx, psd_factor(M)
 
 
 def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray,
@@ -304,7 +337,10 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
         # already at/below state dim (e.g. the 9-row ZUPT): compression would
         # EXPAND the system to D rows — use the whitened rows directly
         H_c, r_c = Hw, rw
-    dx, P_new = joseph_update(fs.P, H_c, r_c, 1.0)
+    if cfg.filter.sqrt_form:
+        dx, P_new = sqrt_update(fs.P, H_c, r_c)
+    else:
+        dx, P_new = joseph_update(fs.P, H_c, r_c, 1.0)
     # NaN containment (SURVEY.md §5 failure detection): a numerically broken
     # update must not poison the state — reject it wholesale and let the
     # online-reset guard decide if the filter needs reinitialization. Also

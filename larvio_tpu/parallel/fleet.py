@@ -125,3 +125,42 @@ def run_fleet_sequence(cfg: VioConfig, vs: VioState, seq_feats, seq_imu):
         return jax.lax.scan(body, vs, (seq_feats, seq_imu))
 
     return _run(cfg, vs, seq_feats, seq_imu)
+
+
+def make_sharded_fleet_run(cfg: VioConfig, mesh: Mesh, axis: str = "fleet"):
+    """Whole-sequence scan of a fleet sharded across ``mesh``.
+
+    ``run_fn(vs, seq_feats, seq_imu) -> (vs, outs)`` with the per-frame scan
+    INSIDE shard_map: each device scans its own instance shard over all T
+    frames with zero inter-device communication — the production multi-chip
+    execution shape (one compiled program, T on-device steps, instances
+    sharded on ICI-connected chips). Sequence pytrees carry (T, B, ...) axes;
+    instances shard on axis 1.
+    """
+    spec_b = P(axis)
+    spec_tb = P(None, axis)
+
+    def local_run(vs, seq_feats, seq_imu):
+        def body(carry, inp):
+            f, i = inp
+            return fleet_step(cfg, carry, f, i)
+
+        return jax.lax.scan(body, vs, (seq_feats, seq_imu))
+
+    try:
+        sharded = shard_map(
+            local_run,
+            mesh=mesh,
+            in_specs=(spec_b, spec_tb, spec_tb),
+            out_specs=(spec_b, spec_tb),
+            check_vma=False,
+        )
+    except TypeError:  # older jax: check_rep
+        sharded = shard_map(
+            local_run,
+            mesh=mesh,
+            in_specs=(spec_b, spec_tb, spec_tb),
+            out_specs=(spec_b, spec_tb),
+            check_rep=False,
+        )
+    return jax.jit(sharded, donate_argnums=0)

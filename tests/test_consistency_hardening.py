@@ -233,9 +233,11 @@ class TestMonteCarloNees:
         # calibration requires the MODELED noise to roughly match the
         # SIMULATED noise (the production default observation_noise=0.035 is
         # deliberately conservative vs the sim's 0.002 — that alone puts NEES
-        # at (0.002/0.035)^2 ~ 0.003 without any filter bug). 0.005 keeps a
-        # small safety factor: exactly-matched noise (0.002) makes the f32
-        # update fragile — see the collapse-reset guard in msckf.py.
+        # at (0.002/0.035)^2 ~ 0.003 without any filter bug). This JOSEPH-path
+        # run keeps a small 0.005 safety factor because exactly-matched noise
+        # makes the f32 Joseph update fragile; the square-root path runs the
+        # same batch at exactly 0.002 with zero resets
+        # (test_sqrt_filter.py::TestSqrtExactNoiseNees — VERDICT r2 #3).
         cfg = VioConfig(noise=NoiseConfig(observation_noise=0.005))
         N_SEEDS = 20
         datas = [

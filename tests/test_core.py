@@ -193,3 +193,39 @@ class TestInvQuadform:
         exact = float(r @ np.linalg.solve(S.astype(np.float64), r))
         got = float(inv_quadform(jnp.asarray(S), jnp.asarray(r)))
         assert abs(got - exact) / max(exact, 1e-9) < 1e-3
+
+    def test_guarded_beyond_convergence_radius(self, rng):
+        """kappa ~ 1e6 and indefinite inputs: the guard must return either an
+        accurate finite gamma or +inf (reject) — never silent garbage
+        (VERDICT r2 #6)."""
+        from larvio_tpu.core.linalg import inv_quadform
+
+        n = 40
+        # (a) extreme conditioning: finite results must be accurate to 25%
+        for cond in (1e5, 1e6):
+            for trial in range(3):
+                Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+                lam = np.logspace(0, np.log10(cond), n)
+                S = ((Q * lam) @ Q.T).astype(np.float32)
+                S = 0.5 * (S + S.T)
+                r = rng.normal(size=n).astype(np.float32)
+                exact = float(r @ np.linalg.solve(S.astype(np.float64), r))
+                got = float(inv_quadform(jnp.asarray(S), jnp.asarray(r)))
+                assert np.isinf(got) or abs(got - exact) / exact < 0.25, (
+                    cond, got, exact
+                )
+        # (b) indefinite S (f32-corrupted covariance): must reject, not return
+        # a plausible-looking number
+        Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        lam = np.logspace(0, 3, n)
+        lam[0] = -1.0  # negative eigenvalue
+        S = ((Q * lam) @ Q.T).astype(np.float32)
+        S = 0.5 * (S + S.T)
+        r = rng.normal(size=n).astype(np.float32)
+        got = float(inv_quadform(jnp.asarray(S), jnp.asarray(r)))
+        assert np.isinf(got), got
+        # (c) NaN-poisoned S: reject
+        S_nan = S.copy()
+        S_nan[3, 5] = np.nan
+        got = float(inv_quadform(jnp.asarray(S_nan), jnp.asarray(r)))
+        assert np.isinf(got), got

@@ -95,6 +95,69 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(vs2.filter.p), [1.0, 2.0, 3.0])
         assert jnp.all(vs2.filter.P == vs.filter.P)
 
+    def test_resume_equals_uninterrupted(self, tmp_path):
+        """Resume that RESUMES (VERDICT r2 #5): run the image pipeline for k
+        frames, save, restore into a fresh state, run the remainder — the
+        stitched trajectory must match an uninterrupted run to f32 tolerance
+        (the tracker's prev_pyr and the full filter carry survive the trip)."""
+        import jax
+        from larvio_tpu.config import VioConfig, FilterConfig, FrontendConfig
+        from larvio_tpu.data.render import render_sequence
+        from larvio_tpu.data.sim import SimConfig, Simulator
+        from larvio_tpu.models.propagation import ImuBatch
+        from larvio_tpu.pipeline import (
+            FrameInput,
+            init_pipeline_state,
+            run_image_sequence,
+        )
+        from larvio_tpu.utils.checkpoint import restore_state, save_state
+
+        cfg = VioConfig(
+            filter=FilterConfig(max_clones=8, max_update_features=12,
+                                imu_slots_per_frame=24),
+            frontend=FrontendConfig(max_features=48),
+        )
+        sim = Simulator(SimConfig(duration=6.0, n_landmarks=400), cfg)
+        data = sim.generate()
+        imgs = render_sequence(cfg, sim, data["t_img"])
+        frames = FrameInput(
+            image=jnp.asarray(imgs),
+            imu=ImuBatch(
+                t=jnp.asarray(data["imu_t"]),
+                w=jnp.asarray(data["imu_w"]),
+                a=jnp.asarray(data["imu_a"]),
+                valid=jnp.asarray(data["imu_valid"]),
+            ),
+            t=jnp.asarray(data["t_img"]),
+        )
+        T = len(data["t_img"])
+        k = T // 2
+
+        # uninterrupted
+        ps_u, outs_u = run_image_sequence(cfg, init_pipeline_state(cfg), frames)
+
+        # interrupted: [0, k), save, restore into a FRESH template, [k, T)
+        first = jax.tree.map(lambda a: a[:k], frames)
+        second = jax.tree.map(lambda a: a[k:], frames)
+        ps1, outs_a = run_image_sequence(cfg, init_pipeline_state(cfg), first)
+        path = str(tmp_path / "resume.npz")
+        save_state(path, ps1)
+        ps_r = restore_state(path, init_pipeline_state(cfg))
+        ps2, outs_b = run_image_sequence(cfg, ps_r, second)
+
+        p_u = np.asarray(outs_u.p)
+        p_i = np.concatenate([np.asarray(outs_a.p), np.asarray(outs_b.p)], axis=0)
+        m = np.asarray(outs_u.initialized).astype(bool)
+        assert m.sum() > 40
+        # identical per-step math, different scan lengths: f32 tolerance
+        np.testing.assert_allclose(p_i[m], p_u[m], atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(ps2.vio.filter.p), np.asarray(ps_u.vio.filter.p), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(ps2.vio.filter.td), np.asarray(ps_u.vio.filter.td), atol=1e-5
+        )
+
 
 class TestConfigYaml:
     def test_reference_style_yaml(self, tmp_path):

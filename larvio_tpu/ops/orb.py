@@ -14,9 +14,13 @@ gather batch; Hamming distance is XOR + popcount on 8 uint32 lanes.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from larvio_tpu.ops.image import in_bounds
 
@@ -40,24 +44,138 @@ _XGRID = (_xx * _CIRC).astype(np.float32)
 _YGRID = (_yy * _CIRC).astype(np.float32)
 
 
+def _slabs_xla(img: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(F, PATCH, PATCH) integer-aligned slabs via vmapped dynamic_slice.
+
+    Correctness baseline and CPU/fleet path. XLA lowers the vmapped
+    dynamic_slice to a sequential per-feature while loop on TPU
+    (~0.17 ms/frame at F=200); ``_slabs_pallas`` replaces it there.
+    """
+    H, W = img.shape
+
+    def one(center):
+        rx = jnp.clip(jnp.round(center[0]).astype(jnp.int32), _r, W - _r - 1)
+        ry = jnp.clip(jnp.round(center[1]).astype(jnp.int32), _r, H - _r - 1)
+        return jax.lax.dynamic_slice(img, (ry - _r, rx - _r), (PATCH, PATCH))
+
+    return jax.vmap(one)(pos)
+
+
+_SLAB_GROUP = 8
+
+
+def _make_slab_kernel(H, W, Hp, Wp, G):
+    """One program extracts G slabs; all F programs run data-parallel.
+
+    Load pattern follows ops/lk_pallas.slab_at (Mosaic needs tile-aligned
+    vector loads): an aligned window is loaded, rows rotated into place with
+    a cheap sublane roll, then lane-rolled. Unlike LK's 16-row slabs, a
+    31-row patch at row offset up to 7 spans up to 38 rows, so the window is
+    64 rows (a 32-row window would WRAP the bottom rows of the patch —
+    silently, since pltpu.roll is circular).
+    """
+
+    def kernel(pos_ref, img_ref, out_ref):
+        for j in range(G):
+            f = pl.program_id(0) * G + j
+            cx = pos_ref[2 * f]
+            cy = pos_ref[2 * f + 1]
+            # invalid slots carry NaN/garbage positions; the INTEGER clip
+            # forces the load offsets in range (slab content is then garbage
+            # but gated out downstream — same as the XLA path's clamped-slice
+            # semantics)
+            rx = jnp.clip(jnp.round(cx).astype(jnp.int32), _r, W - _r - 1)
+            ry = jnp.clip(jnp.round(cy).astype(jnp.int32), _r, H - _r - 1)
+            x0 = rx - _r
+            y0 = ry - _r
+            ya = jnp.minimum((y0 // 8) * 8, Hp - 64)
+            ya = pl.multiple_of(ya, 8)
+            if Wp <= 256:
+                wide = img_ref[pl.ds(ya, 64), :]
+                xoff = x0
+            else:
+                xa = jnp.minimum((x0 // 128) * 128, Wp - 256)
+                xa = pl.multiple_of(xa, 128)
+                wide = img_ref[pl.ds(ya, 64), pl.ds(xa, 256)]
+                xoff = x0 - xa
+            # row roll needs rows (y0-ya)..(y0-ya)+30 <= 38 < 64: no wrap.
+            # lane roll needs cols xoff..xoff+30 <= 239 < 256: no wrap.
+            rows = pltpu.roll(wide, -(y0 - ya), axis=0)[:32, :]
+            rolled = pltpu.roll(rows, -xoff, axis=1)
+            out_ref[j, :, :] = rolled[:, :128]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _slabs_pallas_impl(img, pos, interpret=False):
+    """(F, 32, 128) slab windows; ``[:, :PATCH, :PATCH]`` matches _slabs_xla."""
+    F = pos.shape[0]
+    H, W = img.shape
+    Wp = -(-W // 128) * 128
+    Hp = max(-(-H // 8) * 8, 64)
+    if (Hp, Wp) != (H, W):
+        img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)))
+    Fp = -(-F // _SLAB_GROUP) * _SLAB_GROUP
+    # SMEM operand flattened to 1-D (multi-dim SMEM pads ~256 B/element)
+    posf = jnp.pad(pos, ((0, Fp - F), (0, 0))).reshape(-1)
+    out = pl.pallas_call(
+        _make_slab_kernel(H, W, Hp, Wp, _SLAB_GROUP),
+        grid=(Fp // _SLAB_GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_SLAB_GROUP, 32, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Fp, 32, 128), jnp.float32),
+        interpret=interpret,
+    )(posf, img)
+    return out[:F, :PATCH, :PATCH]
+
+
+@jax.custom_batching.custom_vmap
+def _slabs_pallas(img, pos):
+    return _slabs_pallas_impl(img, pos)
+
+
+@_slabs_pallas.def_vmap
+def _slabs_pallas_batch(axis_size, in_batched, img, pos):
+    # fleet path: keep the XLA gather semantics under vmap (aggregate fleet
+    # throughput is bounded elsewhere; revisit with a (B, F) grid if it shows)
+    img_b, pos_b = (
+        x if b else jnp.broadcast_to(x[None], (axis_size, *x.shape))
+        for x, b in ((img, in_batched[0]), (pos, in_batched[1]))
+    )
+    return jax.vmap(_slabs_xla)(img_b, pos_b), True
+
+
+def extract_slabs(img: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(F, PATCH, PATCH) patch slabs, Pallas on TPU / XLA elsewhere."""
+    from larvio_tpu.ops.lk_pallas import pallas_available
+
+    return (_slabs_pallas if pallas_available() else _slabs_xla)(img, pos)
+
+
 def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Descriptors for all feature slots. pos (F,2) px -> (F, 8) uint32.
 
-    One contiguous (PATCH x PATCH) dynamic slice per feature; orientation from
-    intensity-centroid moments over the slab; steered test pattern sampled
-    nearest-neighbor from the slab (matching real ORB's integer sampling).
+    One contiguous (PATCH x PATCH) slab per feature (Pallas data-parallel
+    extraction on TPU — the vmapped dynamic_slice serializes there);
+    orientation from intensity-centroid moments over the slab; steered test
+    pattern sampled nearest-neighbor from the slab (matching real ORB's
+    integer sampling).
     """
     pat = jnp.asarray(_PAT)
     xg = jnp.asarray(_XGRID)
     yg = jnp.asarray(_YGRID)
-    H, W = img.shape
 
     P32 = 32  # slab padded to the f32 sublane tile
 
-    def one(center, ok):
-        rx = jnp.clip(jnp.round(center[0]).astype(jnp.int32), _r, W - _r - 1)
-        ry = jnp.clip(jnp.round(center[1]).astype(jnp.int32), _r, H - _r - 1)
-        slab = jax.lax.dynamic_slice(img, (ry - _r, rx - _r), (PATCH, PATCH))
+    slabs = extract_slabs(img, pos)
+
+    def one(slab, ok):
         m10 = jnp.sum(slab * xg)
         m01 = jnp.sum(slab * yg)
         th = jnp.arctan2(m01, m10)
@@ -85,7 +203,7 @@ def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndar
         packed = jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
         return jnp.where(ok, packed, jnp.zeros(N_WORDS, jnp.uint32))
 
-    return jax.vmap(one)(pos, valid)
+    return jax.vmap(one)(slabs, valid)
 
 
 def hamming(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:

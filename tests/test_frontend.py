@@ -45,6 +45,18 @@ class TestPyramid:
         d = np.abs(ours[2:-2, 2:-2] - ref[2:-2, 2:-2])
         assert np.median(d) < 1.0 and d.mean() < 1.5
 
+    def test_mxu_path_matches_shift_add(self, rng):
+        # the TPU production path (banded matmuls) must equal the shift-add
+        # reference to f32 rounding, including odd sizes / edge replication
+        from larvio_tpu.ops.image import _pyr_down_mxu, pyr_down
+
+        for shape in [(480, 752), (479, 751), (241, 377), (7, 9)]:
+            im = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+            a = np.asarray(pyr_down(im))
+            b = np.asarray(_pyr_down_mxu(im))
+            assert a.shape == b.shape
+            assert np.abs(a - b).max() < 1e-3, shape
+
 
 class TestDetect:
     def test_corners_near_cv2_corners(self, rendered_pair):

@@ -139,6 +139,22 @@ class FilterConfig:
     # unit-correct for near AND far features (a metric depth gate starves
     # distant landmarks whose depth variance grows quadratically)
     slam_max_init_rho_sigma: float = 0.25
+    # floor (std) on the observation noise used for a landmark's DELAYED-INIT
+    # covariance only (models/slam.py promote_features): fresh triangulations
+    # carry linearization bias that does not shrink with the sensor noise, so
+    # a tightly-modeled sigma makes the init ~sigma^2-overconfident and the
+    # slam updates then pin the state to biased landmarks (~1 m bootstrap
+    # drift at exactly-matched 0.002). Inactive at the conservative default
+    # observation noise.
+    slam_init_noise_floor: float = 0.01
+    # relinearize a slam feature's FEJ null when the estimate has moved more
+    # than this many feature-sigmas away from it (models/slam.py
+    # relinearize_nulls): pure FEJ freezes the promotion-time triangulation
+    # bias into every subsequent Jacobian, which at tightly-modeled noise
+    # turns into a persistent position-overconfidence bias (ROADMAP r3 #4).
+    # The threshold is in sigma units so converged features never churn their
+    # linearization point. 0 disables (pure FEJ).
+    slam_relin_sigma: float = 0.0
     imu_slots_per_frame: int = 24  # padded IMU samples per camera frame
     max_update_features: int = 24  # max dead tracks per MSCKF update batch
     max_prune_features: int = 24  # max features marginalized per prune event
@@ -198,6 +214,16 @@ class FilterConfig:
     # Softening them trades a few extra frames of velocity convergence for an
     # attitude that stays at its gyro-integrated accuracy. 1.0 disables.
     bootstrap_noise_inflation: float = 4.0
+    # absolute floor (std, normalized plane) on the EFFECTIVE observation
+    # noise while velocity uncertainty is high: with tightly-modeled noise
+    # (e.g. 0.002 exactly matching the sensor) the bootstrap-phase updates
+    # are weighted ~300x the default and their linearization error (loose
+    # triangulations against a still-converging window) is baked into the
+    # state at collapsed covariance — observed as ~1 m position error
+    # acquired in the first 2 s and "known" to 3 cm. The floor keeps the
+    # transient updates honest about linearization error without touching
+    # steady-state weighting.
+    bootstrap_noise_floor: float = 0.01
     # numerics
     use_fej: bool = True
     # square-root covariance (SURVEY.md §7 hard part #2): fs.P holds a square

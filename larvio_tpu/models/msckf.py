@@ -262,8 +262,11 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         # first big-residual updates fire — and underweighting a transient
         # variance spike in normal operation is harmless, unlike consumption)
         high_unc = jnp.max(cov_diag(cfg, fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
-        obs_var = cfg.noise.observation_noise**2 * jnp.where(
-            high_unc, cfg.filter.bootstrap_noise_inflation, 1.0
+        infl = cfg.noise.observation_noise**2 * cfg.filter.bootstrap_noise_inflation
+        obs_var = jnp.where(
+            high_unc,
+            jnp.maximum(infl, cfg.filter.bootstrap_noise_floor**2),
+            cfg.noise.observation_noise**2,
         )
         fs, _ = apply_update(
             cfg, fs, H_stack, r_stack, obs_var, enable=do_update,
@@ -334,8 +337,11 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         # re-evaluate underweighting: the marginalizing update above may have
         # already collapsed the velocity uncertainty out of the high-unc range
         high_unc_b = jnp.max(cov_diag(cfg, fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
-        obs_var_b = cfg.noise.observation_noise**2 * jnp.where(
-            high_unc_b, cfg.filter.bootstrap_noise_inflation, 1.0
+        infl_b = cfg.noise.observation_noise**2 * cfg.filter.bootstrap_noise_inflation
+        obs_var_b = jnp.where(
+            high_unc_b,
+            jnp.maximum(infl_b, cfg.filter.bootstrap_noise_floor**2),
+            cfg.noise.observation_noise**2,
         )
         fs, dx = apply_update(
             cfg, fs, H_b, r_b, obs_var_b,
@@ -349,6 +355,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             anchor_slot=newest,
         )
         fs = slam_mod.drop_lost(cfg, fs, feats, slam_hard_fail)
+        fs = slam_mod.relinearize_nulls(cfg, fs)
         # consumed windows retire
         fs = fs.replace(
             obs=fs.obs.replace(valid=fs.obs.valid & ~consumed_rows[:, None])

@@ -308,7 +308,20 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
         return fs
     obs = fs.obs
     C = cfg.filter.max_clones
-    sigma2 = jnp.asarray(cfg.noise.observation_noise**2, fs.P.dtype)
+    # promotion-INIT noise floor: the delayed-init covariance scales with the
+    # modeled observation noise, but a fresh landmark's true error also
+    # carries triangulation-linearization bias that does not shrink with the
+    # sensor noise. With tightly-modeled noise (e.g. 0.002 exactly matching
+    # the sensor) the init is ~25x overconfident and the subsequent slam
+    # updates pin the state to biased landmarks — isolated as THE driver of
+    # the ~1 m bootstrap-phase drift at exact noise (S=0 runs stay at 7 cm;
+    # FEJ on/off irrelevant). The floor only affects the landmark's initial
+    # uncertainty — steady-state measurement weighting is untouched, and at
+    # the conservative default (0.035) the floor is inactive.
+    sigma2 = jnp.asarray(
+        max(cfg.noise.observation_noise, cfg.filter.slam_init_noise_floor) ** 2,
+        fs.P.dtype,
+    )
     D = state_dim(cfg)
     dtype = fs.P.dtype
 
@@ -678,6 +691,41 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
         track_slot=jnp.where(dead, -1, fs.slam.track_slot),
     )
     return fs.replace(slam=slam, P=P)
+
+
+def relinearize_nulls(cfg: VioConfig, fs: FilterState) -> FilterState:
+    """Refresh a slam feature's FEJ null once the estimate leaves its trust
+    region (ROADMAP r3 #4; gated by ``slam_relin_sigma``, 0 = pure FEJ).
+
+    Pure FEJ freezes ``idp_null`` at promotion so the measurement Jacobians
+    stay consistent along the unobservable directions — but it also freezes
+    the promotion-time triangulation bias into every subsequent Jacobian.
+    Once the filter has moved the estimate k feature-sigmas away from the
+    null, the Jacobian is evaluated at a point the filter itself asserts is
+    wrong, and the linearization error acts as a persistent measurement bias
+    (observed as bounded position overconfidence at exactly-matched
+    observation noise). Refreshing the null at the current estimate is the
+    same documented discontinuity re-anchoring already makes; the sigma-unit
+    threshold means converged features (small sigma AND small motion) never
+    churn their linearization point, so the observability leak is bounded by
+    k sigma per refresh and refreshes are self-limiting.
+    """
+    S = cfg.filter.max_slam_features
+    k = cfg.filter.slam_relin_sigma
+    if S == 0 or k <= 0.0:
+        return fs
+    from larvio_tpu.models.state import cov_diag
+
+    base = slam_offset(cfg, 0)
+    var = cov_diag(cfg, fs.P)[base : base + S * SLAM_DIM].reshape(S, SLAM_DIM)
+    sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+    dev = jnp.abs(fs.slam.idp - fs.slam.idp_null)
+    refresh = fs.slam.valid & jnp.any(dev > k * sigma, axis=-1)
+    return fs.replace(
+        slam=fs.slam.replace(
+            idp_null=jnp.where(refresh[:, None], fs.slam.idp, fs.slam.idp_null)
+        )
+    )
 
 
 def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:

@@ -127,3 +127,67 @@ class TestSqrtEquivalence:
         assert eig.min() >= -1e-12 * max(eig.max(), 1.0)
         d = np.sum(np.asarray(vs.filter.P) ** 2, axis=1)
         assert np.all(np.isfinite(d)) and np.all(d >= 0.0)
+
+
+@pytest.mark.slow
+class TestSqrtExactNoiseNees:
+    def test_exact_noise_no_collapse_and_calibrated_velocity(self):
+        """The f32 fragility class at exactly-matched observation noise
+        (0.002 = the sim's pixel noise) is ELIMINATED by the sqrt path.
+
+        Measured head-to-head on this exact 20-seed batch (BASELINE.md r3):
+          Joseph @0.002: 2 resets, worst-seed error 1.9 m, velocity NEES ~10
+          sqrt   @0.002: 0 resets, worst-seed error 0.6 m, velocity NEES ~1.1
+
+        The gates pin the sqrt side: no resets (no collapse, no blow-up),
+        finite everywhere, CALIBRATED velocity NEES, and bounded position
+        NEES. Position NEES is not forced to < 3: the residual position
+        overconfidence at exact noise is the FEJ-frozen landmark
+        linearization bias (isolated by S=0 / use_fej ablations — not a
+        numerics failure; S=0 runs sit at 7 cm with honest 45 cm p_std),
+        mitigated by slam_init_noise_floor and bounded here at 3x margin.
+        """
+        from larvio_tpu.api import make_frame_inputs
+        from larvio_tpu.parallel.fleet import init_fleet_state, run_fleet_sequence
+
+        cfg = VioConfig(
+            filter=FilterConfig(sqrt_form=True),
+            noise=NoiseConfig(observation_noise=0.002),
+        )
+        N_SEEDS = 20
+        datas = [
+            Simulator(
+                SimConfig(duration=10.0, pixel_noise=0.002, gyro_noise=0.005,
+                          acc_noise=0.05, seed=s),
+                cfg,
+            ).generate()
+            for s in range(N_SEEDS)
+        ]
+        stacked = {k: np.stack([d[k] for d in datas], axis=1) for k in datas[0]}
+        feats, imu = make_frame_inputs(stacked)
+        vs = init_fleet_state(cfg, N_SEEDS)
+        vs, outs = run_fleet_sequence(cfg, vs, feats, imu)
+        outs = jax.tree.map(np.asarray, outs)
+
+        # the collapse class is gone: zero resets, everything finite
+        assert int(outs.did_reset.sum()) == 0
+        assert np.all(np.isfinite(outs.p))
+
+        m = outs.initialized.astype(bool)
+        sel = m.copy()
+        sel[: 5 * 20] = False
+        gt = stacked["gt_p"]
+        # velocity NEES: observable — must actually calibrate (measured 1.1)
+        t = stacked["t_img"]
+        gt_v = np.gradient(gt, axis=0) / np.gradient(t, axis=0)[..., None]
+        err_v = outs.v - gt_v
+        nees_v = (err_v**2 / np.maximum(outs.v_std, 1e-6) ** 2)[sel].mean(axis=0)
+        assert np.all(nees_v < 3.0), nees_v
+        assert np.all(nees_v > 0.05), nees_v
+        # position: bounded overconfidence (measured ~10; Joseph >700 here)
+        err_p = outs.p - gt
+        nees_p = (err_p**2 / np.maximum(outs.p_std, 1e-6) ** 2)[sel].mean(axis=0)
+        assert np.all(nees_p < 30.0), nees_p
+        # worst-seed absolute error bounded (measured 0.61 m; Joseph 1.9 m)
+        errs = np.linalg.norm(outs.p - gt, axis=-1)
+        assert errs.max() < 1.2, errs.max()

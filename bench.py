@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def main(fleet: int = 0, sqrt: bool = False):
+def main(fleet: int = 0, joseph: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,9 @@ def main(fleet: int = 0, sqrt: bool = False):
     from larvio_tpu.pipeline import FrameInput, init_pipeline_state, run_image_sequence
 
     n_frames_target = 400  # 20 s @ 20 Hz
-    cfg = VioConfig(filter=FilterConfig(sqrt_form=True)) if sqrt else VioConfig()
+    # default config = square-root covariance (round 3 flip); --joseph benches
+    # the r1/r2 Joseph-form baseline for A/B comparisons
+    cfg = VioConfig(filter=FilterConfig(sqrt_form=False)) if joseph else VioConfig()
     # realistic-noise gate (VERDICT r2 #7): the fps number is conditioned on
     # accuracy under EuRoC-grade IMU noise + biases and image sensor noise —
     # a perf change that buys speed by degrading noise robustness fails here,
@@ -147,7 +149,7 @@ def main(fleet: int = 0, sqrt: bool = False):
                     "synthetic_euroc_image_pipeline_fps_per_chip"
                     if not fleet
                     else f"synthetic_euroc_fleet_b{fleet}_aggregate_fps_per_chip"
-                ) + ("_sqrt" if sqrt else ""),
+                ) + ("_joseph" if joseph else ""),
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 200.0, 3),
@@ -168,4 +170,4 @@ if __name__ == "__main__":
     fleet = 0
     if len(sys.argv) > 2 and sys.argv[1] == "--fleet":
         fleet = int(sys.argv[2])
-    sys.exit(main(fleet, sqrt="--sqrt" in sys.argv))
+    sys.exit(main(fleet, joseph="--joseph" in sys.argv))

@@ -147,6 +147,15 @@ class FilterConfig:
     # drift at exactly-matched 0.002). Inactive at the conservative default
     # observation noise.
     slam_init_noise_floor: float = 0.01
+    # consistency-aware delayed init (ROADMAP r3 #4 lead): inflate ONLY the
+    # inverse-depth (rho) variance of a fresh landmark by k^2 x its own
+    # delayed-init rho variance. Triangulation-linearization bias concentrates
+    # along the anchor ray (rho); ray-directed inflation keeps the bearing
+    # components honest while de-weighting the biased direction, unlike
+    # slam_init_noise_floor's isotropic measurement-space floor. In sigma
+    # units: the landmark's initial rho sigma is scaled by sqrt(1 + k^2).
+    # 0 disables.
+    slam_init_rho_inflation: float = 0.0
     # relinearize a slam feature's FEJ null when the estimate has moved more
     # than this many feature-sigmas away from it (models/slam.py
     # relinearize_nulls): pure FEJ freezes the promotion-time triangulation
@@ -231,9 +240,12 @@ class FilterConfig:
     # (core/linalg.psd_factor) so the implied covariance is PSD by
     # construction — eliminating the f32 Joseph-form collapse class (negative
     # diagonals under tightly-modeled observation noise) instead of detecting
-    # it after the fact. Default stays Joseph until the sqrt path has matched
-    # perf on TPU; accuracy parity is pinned by tests/test_sqrt_filter.py.
-    sqrt_form: bool = False
+    # it after the fact. DEFAULT since round 3: accuracy parity is pinned by
+    # tests/test_sqrt_filter.py (ATE identical, strictly better consistency —
+    # 0 resets at exactly-matched noise where Joseph collapses twice), the
+    # measured TPU cost is -1.7% fps, and the full suite soaks under it.
+    # False selects the Joseph-form path (the r1/r2 baseline).
+    sqrt_form: bool = True
 
 
 @dataclass(frozen=True)

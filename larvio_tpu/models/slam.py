@@ -402,6 +402,23 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
             )
             P_idp = mm(T, mm(core, T.T))
         P_idp = 0.5 * (P_idp + P_idp.T)
+        # consistency-aware init (slam_init_rho_inflation = k): add k^2 x the
+        # init's own rho variance as INDEPENDENT noise along rho only —
+        # triangulation-linearization bias concentrates along the anchor ray.
+        # In sqrt mode the extra noise must ride the slot's own noise columns,
+        # so W is re-factored with the rho term folded in (W' W'^T sigma2 =
+        # sigma2 W W^T + k^2 P_rho e3 e3^T); dense mode adds it to P_idp
+        # directly. P_idp is inflated in BOTH modes so the well_init gates see
+        # the honest uncertainty.
+        k_rho = cfg.filter.slam_init_rho_inflation
+        if k_rho > 0.0:
+            extra = (k_rho**2) * P_idp[2, 2]
+            e33 = jnp.zeros((3, 3), dtype).at[2, 2].set(1.0)
+            P_idp = P_idp + extra * e33
+            if cfg.filter.sqrt_form:
+                Wg = mm(W, W.T) + (extra / sigma2) * e33
+                Wn = jax.lax.linalg.cholesky(Wg + 1e-12 * jnp.eye(3, dtype=dtype))
+                W = jnp.where(jnp.any(jnp.isnan(Wn)), W, Wn)
         return idp_hat, zA, P_idp_x, P_idp, df, E, P_fx, A12, T, W
 
     (idp_all, zA_all, P_fx_all, P_ff_all, df_all, E_all, P_fx_raw, A12_all,

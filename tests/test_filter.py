@@ -12,8 +12,13 @@ from larvio_tpu.models.state import init_filter_state, initial_covariance, state
 
 @pytest.fixture(scope="module")
 def cfg():
+    # sqrt_form pinned OFF: this module asserts Joseph-path covariance-block
+    # semantics directly on fs.P (clone block mirroring, prune row zeroing,
+    # P equivalence of the propagation paths). Under the sqrt default fs.P
+    # holds a factor S with P = S S^T, whose rows legitimately differ.
+    # Sqrt-path parity is pinned end-to-end by tests/test_sqrt_filter.py.
     return VioConfig(
-        filter=FilterConfig(max_clones=6, max_update_features=8),
+        filter=FilterConfig(max_clones=6, max_update_features=8, sqrt_form=False),
         frontend=FrontendConfig(max_features=16),
     )
 
@@ -112,7 +117,10 @@ class TestPropagationJacobian:
         from larvio_tpu.models.update import inject_error
 
         cfg_nofej = VioConfig(
-            filter=FilterConfig(max_clones=6, max_update_features=8, use_fej=False),
+            # sqrt_form off: Phi is extracted from covariance propagation
+            # (P0 = I => P' = Phi Phi^T + Q), which reads fs.P as a covariance
+            filter=FilterConfig(max_clones=6, max_update_features=8,
+                                use_fej=False, sqrt_form=False),
             frontend=FrontendConfig(max_features=16),
         )
         fs = init_filter_state(cfg_nofej)
@@ -335,7 +343,8 @@ class TestPropagationParallelEquivalence:
         # with FEJ on and nulls lagging the estimate, the OC fix-up rows of
         # the accumulated Phi must agree between the two implementations
         cfg_fej = VioConfig(
-            filter=FilterConfig(max_clones=6, max_update_features=8, use_fej=True),
+            filter=FilterConfig(max_clones=6, max_update_features=8,
+                                use_fej=True, sqrt_form=False),
             frontend=FrontendConfig(max_features=16),
         )
         fs = self._state(cfg_fej, rng)

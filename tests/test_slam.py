@@ -26,6 +26,7 @@ class TestDelayedInit:
                 max_clones=8, max_slam_features=2, slam_promote_obs=6,
                 max_update_features=4, tri_translation_threshold=0.1,
                 slam_max_init_rho_sigma=3.0,  # accept for the statistics check
+                sqrt_form=False,  # reads fs.P covariance blocks directly
             ),
             frontend=FrontendConfig(max_features=8),
         )
@@ -103,7 +104,8 @@ class TestReanchor:
         C, S = 6, 3
         cfg = VioConfig(
             filter=FilterConfig(max_clones=C, max_slam_features=S,
-                                max_update_features=2, imu_slots_per_frame=4),
+                                max_update_features=2, imu_slots_per_frame=4,
+                                sqrt_form=False),  # reads fs.P blocks directly
             frontend=FrontendConfig(max_features=8),
         )
         from larvio_tpu.models.state import clone_offset, init_filter_state, slam_offset, state_dim
@@ -179,6 +181,78 @@ class TestReanchor:
 
 
 @pytest.mark.slow
+class TestRhoInflation:
+    """slam_init_rho_inflation=k must scale ONLY the promoted landmark's
+    inverse-depth variance by (1 + k^2), in both covariance representations
+    (consistency-aware delayed init, ROADMAP r3 #4)."""
+
+    def _promote_rho_var(self, sqrt_form, k_rho, rng):
+        C = 8
+        cfg = VioConfig(
+            filter=FilterConfig(
+                max_clones=C, max_slam_features=2, slam_promote_obs=6,
+                max_update_features=4, tri_translation_threshold=0.1,
+                slam_max_init_rho_sigma=3.0, sqrt_form=sqrt_form,
+                slam_init_rho_inflation=k_rho,
+            ),
+            frontend=FrontendConfig(max_features=8),
+        )
+        D = state_dim(cfg)
+        sig = cfg.noise.observation_noise
+        fs = init_filter_state(cfg)
+        p_cl = np.zeros((C, 3), np.float32)
+        p_cl[:, 0] = np.linspace(0, 1.4, C)
+        fs = fs.replace(
+            initialized=jnp.asarray(True),
+            clones=fs.clones.replace(
+                valid=jnp.ones(C, bool), frame=jnp.arange(C, dtype=jnp.int32),
+                p=jnp.asarray(p_cl), p_null=jnp.asarray(p_cl), q_null=fs.clones.q,
+            ),
+            P=jnp.eye(D, dtype=jnp.float32) * 1e-6,
+        )
+        p_true = np.array([0.5, 0.3, 7.0], np.float32)
+        R_ci = np.asarray(quat_to_rotation(fs.q_ci))
+        t_ci = np.asarray(fs.t_ci)
+        obs_uv = np.zeros((8, C, 2), np.float32)
+        for j in range(C):
+            pc = R_ci @ (p_true - p_cl[j]) + t_ci
+            obs_uv[3, j] = pc[:2] / pc[2] + rng.normal(0, sig, 2)
+        obs_valid = np.zeros((8, C), bool)
+        obs_valid[3] = True
+        fs = fs.replace(
+            obs=fs.obs.replace(
+                uv=jnp.asarray(obs_uv), valid=jnp.asarray(obs_valid),
+                track_id=jnp.full(8, -1, jnp.int32).at[3].set(42),
+            )
+        )
+        cand = jnp.zeros(8, bool).at[3].set(True)
+        blocks, consumed, idx, tri, sel = _consume_blocks(cfg, fs, cand)
+        H = blocks.H.reshape(-1, D)
+        r = blocks.r.reshape(-1)
+        fs2, dx = apply_update(cfg, fs, H, r, sig**2, enable=jnp.asarray(True))
+        fs3 = slam_mod.promote_features(
+            cfg, fs2, blocks, tri, idx, sel, dx, anchor_slot=jnp.asarray(C - 1)
+        )
+        sl = np.flatnonzero(np.asarray(fs3.slam.valid))
+        assert len(sl) == 1
+        off = slam_offset(cfg, int(sl[0]))
+        P = np.asarray(fs3.P)
+        if sqrt_form:
+            var = np.array([np.sum(P[off + i] ** 2) for i in range(3)])
+        else:
+            var = np.diagonal(P)[off : off + 3]
+        return var
+
+    @pytest.mark.parametrize("sqrt_form", [False, True])
+    def test_inflates_rho_only(self, sqrt_form, rng):
+        k = 2.0
+        base = self._promote_rho_var(sqrt_form, 0.0, np.random.default_rng(7))
+        infl = self._promote_rho_var(sqrt_form, k, np.random.default_rng(7))
+        # bearing variances untouched, rho variance scaled by 1 + k^2
+        np.testing.assert_allclose(infl[:2], base[:2], rtol=1e-5)
+        np.testing.assert_allclose(infl[2] / base[2], 1.0 + k * k, rtol=1e-4)
+
+
 class TestHybridEndToEnd:
     def test_promotes_at_default_config(self):
         """Engagement gate (VERDICT r1 #4): at DEFAULT thresholds on the

@@ -73,7 +73,7 @@ def _prefetch(frame_iter, depth: int = 8, workers: int = 2, timers=None):
 
 def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None,
                    init_mode="auto", chunk: int = 1, resume=None,
-                   budget: bool = False):
+                   budget: bool = False, live=None, live_every: int = 40):
     """Host loop: jitted pipeline steps over a frame stream (streaming mode).
 
     init_mode: "static" keeps only the on-device static initializer;
@@ -160,6 +160,36 @@ def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None,
     n = 0
     n_chunks = 0
     pending = []
+    # --live: the reference's Pangolin live-view analogue — refresh a PNG of
+    # the trajectory-so-far (+ a one-line status) every `live_every` frames.
+    # Rendering is host-side and infrequent; only the outputs accumulated
+    # since the last refresh are pulled off-device.
+    live_hist = []  # np (k,3) position chunks already converted
+    live_n_done = 0  # index into outs_all already converted
+    live_next = live_every
+
+    def _live_refresh():
+        nonlocal live_n_done
+        new = outs_all[live_n_done:]
+        live_n_done = len(outs_all)
+        for o in new:
+            pi = np.asarray(o.p)
+            ii = np.asarray(o.initialized).astype(bool)
+            live_hist.append(pi[ii.reshape(pi.shape[0])]
+                             if pi.ndim == 2 else pi[None][ii[None]])
+        ph = np.concatenate([h for h in live_hist if h.size], axis=0) \
+            if any(h.size for h in live_hist) else np.zeros((0, 3))
+        if ph.shape[0] >= 2:
+            from larvio_tpu.data.visualize import plot_run
+
+            plot_run(live, np.arange(ph.shape[0], dtype=np.float64), ph,
+                     title=f"larvio_tpu live (frame {n})")
+        rate = (f" {(n - n_timed0) / (time.perf_counter() - t_start):.1f} fps"
+                if t_start else "")
+        pos = ph[-1] if ph.shape[0] else (float("nan"),) * 3
+        print(f"live: frame {n} t={n / 20.0:.1f}s "
+              f"p=({pos[0]:+.2f},{pos[1]:+.2f},{pos[2]:+.2f}){rate}",
+              flush=True)
     prof = None
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -194,6 +224,9 @@ def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None,
                     outs_all.append(outs)
                     n += len(pending)
                     pending = []
+                    if live and n >= live_next:
+                        _live_refresh()
+                        live_next = n + live_every
                     if first_chunk:
                         # the chunk executable compiles on this call — restart
                         # the fps clock so the number reports steady state
@@ -221,6 +254,9 @@ def _run_streaming(cfg, frame_iter, profile_dir=None, checkpoint=None,
                 timers["compute"] += time.perf_counter() - t2
             outs_all.append(jax.tree.map(lambda a: a[None], out))
             n += 1
+            if live and n >= live_next:
+                _live_refresh()
+                live_next = n + live_every
             if flex is not None and not bool(out.initialized):
                 # feed the host initializer from the tracker's current table
                 tr = ps.tracker
@@ -346,6 +382,8 @@ def cmd_run(args):
         chunk=args.chunk,
         resume=args.resume,
         budget=args.budget,
+        live=args.live,
+        live_every=args.live_every,
     )
     m = init
     write_tum(args.out, t[m], p[m], q[m])
@@ -474,6 +512,12 @@ def main(argv=None):
     rp.add_argument("--chunk", type=int, default=1,
                     help="frames per device dispatch (K>1: on-device scan per "
                          "chunk — amortizes dispatch latency for offline runs)")
+    rp.add_argument("--live", default=None,
+                    help="live view (reference Pangolin analogue): refresh a "
+                         "PNG of the trajectory-so-far at this path during "
+                         "the run, with a one-line status per refresh")
+    rp.add_argument("--live-every", type=int, default=40,
+                    help="frames between --live refreshes (default 40 = 2 s)")
     rp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("sim", help="synthetic rendered sequence (no dataset needed)")

@@ -268,8 +268,12 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             jnp.maximum(infl, cfg.filter.bootstrap_noise_floor**2),
             cfg.noise.observation_noise**2,
         )
+        # refactor=False: nothing between here and the hybrid update's own
+        # psd_factor reads the factor's column structure (rows-only consumers:
+        # reanchor, remove_clones, augmentation, measurement blocks), so the
+        # re-triangularization is deferred to that update
         fs, _ = apply_update(
-            cfg, fs, H_stack, r_stack, obs_var, enable=do_update,
+            cfg, fs, H_stack, r_stack, obs_var, enable=do_update, refactor=False,
         )
 
     # retire dead rows, clear pruned clone slots

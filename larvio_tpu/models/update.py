@@ -315,12 +315,60 @@ def sqrt_update(S, H, r):
     return dx, psd_factor(M)
 
 
+def sqrt_update_gram(S, Hw, rw, refactor: bool):
+    """Woodbury/information-form factor update for TALL whitened stacks (n > D).
+
+    With T = Hw S and A = I_D + T^T T, the Woodbury identity collapses the
+    optimal gain and covariance to
+
+        K  = S A^{-1} T^T,          dx = S A^{-1} (T^T rw),
+        P' = S A^{-1} S^T     =>    S' = S L^{-T}  with  A = L L^T.
+
+    ONE Cholesky (of a matrix whose spectrum is floored at 1 by the +I) plus
+    GEMMs replaces the qr_compress (2 chols + an N-wide triangular solve) ->
+    innovation chol -> psd_factor (2 chols) chain of the compress-then-update
+    path — algebraically the same update (the compression Q factor cancels
+    inside A), and still PSD by construction (P' is a congruence of A^{-1}).
+
+    f32 note: forming the Gram T^T T squares cond(T), but unlike the
+    orthonormalization use-case (see qr_compress's Gram-domain warning) the +I
+    floor makes that harmless here — directions whose information lands below
+    the unit noise floor are barely updated, so their relative Gram error
+    cannot surface. Directions far above the floor carry ~1e-7 relative error,
+    the same as any f32 GEMM. Parity with the stacked-Joseph path is pinned by
+    tests/test_sqrt_filter.py.
+
+    refactor=True re-triangularizes through psd_factor: slam promotion writes
+    measurement-noise factor blocks into freed slots' columns and requires
+    them structurally zero (models/slam.py promote_features), which only the
+    Jacobi-normalized Cholesky factor guarantees. Updates that no consumer
+    with that requirement reads before the next psd_factor (the
+    marginalization update — the hybrid update re-factors later the same
+    frame) pass False and skip the 2 extra chols.
+    """
+    D = S.shape[0]
+    T = mm(Hw, S)  # (n, D) — whitened rows in the factor basis
+    A = symmetrize(mm(T.T, T)) + jnp.eye(D, dtype=S.dtype)
+    L = jax.lax.linalg.cholesky(A)
+    g = mm(T.T, rw[:, None])  # (D, 1)
+    dx = mm(S, jax.scipy.linalg.cho_solve((L, True), g))[:, 0]
+    Sn = jax.scipy.linalg.solve_triangular(L, S.T, lower=True).T  # S L^{-T}
+    # a NaN factorization (cannot happen for finite inputs — A >= I — but a
+    # NaN-poisoned stack propagates) is contained by apply_update's
+    # finite-guard, which rejects the whole update.
+    if refactor:
+        Sn = psd_factor(Sn)
+    return dx, Sn
+
+
 def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray,
-                 noise_var, enable=None):
+                 noise_var, enable=None, refactor: bool = True):
     """Compressed EKF update + error injection into the nominal state.
 
     H: (N, D) stacked (zero rows = padding), r: (N,). ``enable`` (scalar bool)
     turns the whole update into a no-op while keeping one compiled trace.
+    ``refactor`` (sqrt path only): see sqrt_update_gram — callers whose output
+    factor is re-factored later the same frame pass False.
     Returns (new_state, dx) — dx feeds delayed feature initialization.
     """
     D = state_dim(cfg)
@@ -330,16 +378,22 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
     sig = jnp.sqrt(jnp.broadcast_to(jnp.asarray(noise_var, fs.P.dtype), (n,)))
     Hw = H / sig[:, None]
     rw = r / sig
-    if n > D:
-        # QR compression to D rows (ref: Givens/QR measurement compression)
-        H_c, r_c = qr_compress(Hw, rw)
-    else:
-        # already at/below state dim (e.g. the 9-row ZUPT): compression would
-        # EXPAND the system to D rows — use the whitened rows directly
-        H_c, r_c = Hw, rw
     if cfg.filter.sqrt_form:
-        dx, P_new = sqrt_update(fs.P, H_c, r_c)
+        if n > D:
+            # tall stack: Woodbury/Gram form — one chol, no explicit compression
+            dx, P_new = sqrt_update_gram(fs.P, Hw, rw, refactor)
+        else:
+            # small system (e.g. the 9-row ZUPT): the (n, n) innovation chol
+            # is cheaper than the (D, D) Gram chol
+            dx, P_new = sqrt_update(fs.P, Hw, rw)
     else:
+        if n > D:
+            # QR compression to D rows (ref: Givens/QR measurement compression)
+            H_c, r_c = qr_compress(Hw, rw)
+        else:
+            # already at/below state dim: compression would EXPAND the system
+            # to D rows — use the whitened rows directly
+            H_c, r_c = Hw, rw
         dx, P_new = joseph_update(fs.P, H_c, r_c, 1.0)
     # NaN containment (SURVEY.md §5 failure detection): a numerically broken
     # update must not poison the state — reject it wholesale and let the

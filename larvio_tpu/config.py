@@ -170,6 +170,14 @@ class FilterConfig:
     estimate_extrinsic: bool = True
     estimate_td: bool = True
     td_initial: float = 0.0
+    # initialization priors (1-sigma) for the online-calibrated states
+    # (ref: LarVio ctor extrinsic/td covariance seeds). The defaults assume a
+    # Kalibr-grade extrinsic; widen them when bootstrapping from a rough
+    # hand-measured extrinsic so the filter is licensed to move it
+    # (tests/test_extrinsic.py exercises a 2 deg / 2 cm bootstrap).
+    prior_extrinsic_rot_std: float = 3.5e-3  # rad
+    prior_extrinsic_trans_std: float = 1.0e-2  # m
+    prior_td_std: float = 2.5e-2  # s
     # triangulation
     tri_max_iterations: int = 6
     tri_translation_threshold: float = 0.2  # checkMotion baseline gate (m)
@@ -200,6 +208,18 @@ class FilterConfig:
     zupt_noise_q: float = 3.4e-2  # rad
     # online reset (ref: onlineReset(), SURVEY.md §5 failure detection)
     position_std_threshold: float = 8.0
+    # post-reset priors (1-sigma) for calibration states that SURVIVED the
+    # fault finite — tight-but-adaptive values keep the hard-won calibration
+    # while the fast states re-converge (rationale + measured trade-offs in
+    # msckf.py's reset block; pinned by tests/test_failure_recovery.py)
+    reset_rp_std: float = 0.03  # roll/pitch when q survived (rad)
+    reset_yaw_std: float = 0.1  # yaw when q survived (rad)
+    reset_bg_std: float = 0.01  # gyro bias when bg survived (rad/s)
+    reset_ba_std: float = 0.05  # accel bias when ba survived (m/s^2)
+    reset_td_std: float = 5e-3  # td when td survived (s)
+    # triangulation-residual acceptance bound while in bootstrap mode (the
+    # steady-state bound is tri_max_reproj_err; see msckf._tri_err_bound)
+    bootstrap_tri_err_bound: float = 0.3
     # pruning
     redundancy_angle_threshold: float = 0.2618  # rad (~15 deg)
     redundancy_distance_threshold: float = 0.4  # m

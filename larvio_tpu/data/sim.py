@@ -42,6 +42,8 @@ class SimConfig:
     acc_bias: tuple = (0.0, 0.0, 0.0)
     time_offset: float = 0.0  # true td: image at t was taken at state time t+td
     landmark_z: tuple = (6.0, 18.0)  # ceiling height range (closer -> slam promotes)
+    field_extent: float = 25.0  # landmark x/y half-extent (shrink for close
+    # ceilings so the narrow visibility cone still sees enough landmarks)
     seed: int = 0
     fov_margin: float = 0.8  # normalized-plane half-extent for visibility
     min_depth: float = 0.3
@@ -63,8 +65,8 @@ class Simulator:
         # landmark "ceiling" above the trajectory volume: the (EuRoC-style)
         # camera optical axis is close to the body z-axis, so points overhead
         # stay in view across the whole run
-        x = self.rng.uniform(-25.0, 25.0, c.n_landmarks)
-        y = self.rng.uniform(-25.0, 25.0, c.n_landmarks)
+        x = self.rng.uniform(-c.field_extent, c.field_extent, c.n_landmarks)
+        y = self.rng.uniform(-c.field_extent, c.field_extent, c.n_landmarks)
         z = self.rng.uniform(c.landmark_z[0], c.landmark_z[1], c.n_landmarks)
         self.landmarks = np.stack([x, y, z], axis=-1)
         R = np.array(vio_cfg.camera.R_cam_imu).reshape(3, 3)

@@ -106,7 +106,11 @@ def _tri_err_bound(cfg: VioConfig, fs: FilterState):
     — not feature quality — dominates the residual and the chi2 gate is the
     right judge.
     """
-    return jnp.where(_bootstrap_mode(cfg, fs), 0.3, cfg.filter.tri_max_reproj_err)
+    return jnp.where(
+        _bootstrap_mode(cfg, fs),
+        cfg.filter.bootstrap_tri_err_bound,
+        cfg.filter.tri_max_reproj_err,
+    )
 
 
 def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures,
@@ -268,12 +272,17 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             jnp.maximum(infl, cfg.filter.bootstrap_noise_floor**2),
             cfg.noise.observation_noise**2,
         )
-        # refactor=False: nothing between here and the hybrid update's own
-        # psd_factor reads the factor's column structure (rows-only consumers:
-        # reanchor, remove_clones, augmentation, measurement blocks), so the
-        # re-triangularization is deferred to that update
-        fs, _ = apply_update(
-            cfg, fs, H_stack, r_stack, obs_var, enable=do_update, refactor=False,
+        # refactor=(S == 0): with slam enabled, nothing between here and the
+        # hybrid update's own psd_factor reads the factor's column structure
+        # (rows-only consumers: reanchor, remove_clones, augmentation,
+        # measurement blocks), so the re-triangularization is deferred to that
+        # update. With S == 0 the hybrid-update block is statically skipped
+        # and the next refactor point would be next frame's propagation —
+        # refactor here keeps the column-structure invariant unconditional
+        # (ADVICE r3 #2).
+        fs, _, _ = apply_update(
+            cfg, fs, H_stack, r_stack, obs_var, enable=do_update,
+            refactor=(S == 0),
         )
 
     # retire dead rows, clear pruned clone slots
@@ -347,20 +356,28 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             jnp.maximum(infl_b, cfg.filter.bootstrap_noise_floor**2),
             cfg.noise.observation_noise**2,
         )
-        fs, dx = apply_update(
+        fs, dx, upd_ok = apply_update(
             cfg, fs, H_b, r_b, obs_var_b,
             enable=inited & (n_acc_b > 0),
         )
         # ---- 7. slam lifecycle: promote consumed candidates, drop lost ------
         # anchor at the newest clone (it survives pruning longest; re-anchoring
-        # handles the eventual prune of the anchor)
+        # handles the eventual prune of the anchor).
+        # Promotion is gated on the update's finite verdict (ADVICE r3 #1): a
+        # rejected update leaves fs.P as the PRE-update factor — possibly the
+        # marginalization update's non-refactored one, whose freed-slot columns
+        # promote_features requires structurally zero — and a dx the delayed
+        # init would wrongly condition on.
+        consumed_sel = consumed_sel & upd_ok
+        consumed_rows = consumed_rows & upd_ok
         fs = slam_mod.promote_features(
             cfg, fs, consume_blocks, consume_tri, consume_idx, consumed_sel, dx,
             anchor_slot=newest,
         )
         fs = slam_mod.drop_lost(cfg, fs, feats, slam_hard_fail)
         fs = slam_mod.relinearize_nulls(cfg, fs)
-        # consumed windows retire
+        # consumed windows retire (only if their information was actually
+        # applied — a rejected update leaves the windows live for next frame)
         fs = fs.replace(
             obs=fs.obs.replace(valid=fs.obs.valid & ~consumed_rows[:, None])
         )
@@ -417,15 +434,17 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # a multi-ten-second velocity oscillation (observed). Keep roll/pitch at
     # the static-init trust level when q survived.
     q_ok = jnp.all(jnp.isfinite(fs.q))
-    P_reset = _cal_var(P_reset, 0, 2, jnp.asarray(0.03, dtype) ** 2, q_ok)
-    P_reset = _cal_var(P_reset, 2, 1, jnp.asarray(0.1, dtype) ** 2, q_ok)
-    P_reset = _cal_var(P_reset, 3, 3, jnp.asarray(0.01, dtype) ** 2,
+    fcfg = cfg.filter
+    P_reset = _cal_var(P_reset, 0, 2, jnp.asarray(fcfg.reset_rp_std, dtype) ** 2, q_ok)
+    P_reset = _cal_var(P_reset, 2, 1, jnp.asarray(fcfg.reset_yaw_std, dtype) ** 2, q_ok)
+    P_reset = _cal_var(P_reset, 3, 3, jnp.asarray(fcfg.reset_bg_std, dtype) ** 2,
                        jnp.all(jnp.isfinite(fs.bg)))
-    P_reset = _cal_var(P_reset, 9, 3, jnp.asarray(0.05, dtype) ** 2,
+    P_reset = _cal_var(P_reset, 9, 3, jnp.asarray(fcfg.reset_ba_std, dtype) ** 2,
                        jnp.all(jnp.isfinite(fs.ba)))
     if cfg.filter.estimate_td:
         from larvio_tpu.models.state import IDX_TD
-        P_reset = _cal_var(P_reset, IDX_TD, 1, jnp.asarray(5e-3, dtype) ** 2,
+        P_reset = _cal_var(P_reset, IDX_TD, 1,
+                           jnp.asarray(fcfg.reset_td_std, dtype) ** 2,
                            jnp.isfinite(fs.td))
     # the reset must also sanitize the NOMINAL state: a NaN-poisoned
     # propagation (corrupted IMU) leaves q/p/bg/ba non-finite, and resetting

@@ -233,8 +233,12 @@ def initial_covariance(cfg: VioConfig, dtype=jnp.float32, mode: str = "static") 
         diag = diag.at[IDX_BA : IDX_BA + 3].set(1.0e-1**2)
     diag = diag.at[IDX_P : IDX_P + 3].set(1.0e-6)
     if cfg.filter.estimate_extrinsic:
-        diag = diag.at[IDX_EXT_THETA : IDX_EXT_THETA + 3].set(3.5e-3**2)
-        diag = diag.at[IDX_EXT_P : IDX_EXT_P + 3].set(1.0e-2**2)
+        diag = diag.at[IDX_EXT_THETA : IDX_EXT_THETA + 3].set(
+            cfg.filter.prior_extrinsic_rot_std**2
+        )
+        diag = diag.at[IDX_EXT_P : IDX_EXT_P + 3].set(
+            cfg.filter.prior_extrinsic_trans_std**2
+        )
     if cfg.filter.estimate_td:
-        diag = diag.at[IDX_TD].set(2.5e-2**2)
+        diag = diag.at[IDX_TD].set(cfg.filter.prior_td_std**2)
     return jnp.diag(diag)

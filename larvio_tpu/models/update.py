@@ -335,7 +335,9 @@ def sqrt_update_gram(S, Hw, rw, refactor: bool):
     floor makes that harmless here — directions whose information lands below
     the unit noise floor are barely updated, so their relative Gram error
     cannot surface. Directions far above the floor carry ~1e-7 relative error,
-    the same as any f32 GEMM. Parity with the stacked-Joseph path is pinned by
+    the same as any f32 GEMM. Parity with the stacked-Joseph and dense-Joseph
+    paths (dx and implied covariance, tall + padded systems) is unit-pinned by
+    tests/test_gram_update.py; end-to-end trajectory parity by
     tests/test_sqrt_filter.py.
 
     refactor=True re-triangularizes through psd_factor: slam promotion writes
@@ -369,7 +371,12 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
     turns the whole update into a no-op while keeping one compiled trace.
     ``refactor`` (sqrt path only): see sqrt_update_gram — callers whose output
     factor is re-factored later the same frame pass False.
-    Returns (new_state, dx) — dx feeds delayed feature initialization.
+    Returns (new_state, dx, ok) — dx feeds delayed feature initialization;
+    ``ok`` is the finite-guard verdict: False means the computed update was
+    numerically broken and was REJECTED wholesale (state unchanged). Consumers
+    that rely on the update having actually been applied — slam promotion
+    reads the posterior factor's column structure and conditions on dx —
+    must gate on it.
     """
     D = state_dim(cfg)
     # whiten per-row noise so QR row-mixing keeps R = I (required: compression
@@ -405,7 +412,7 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
     if enable is not None:
         dx = jnp.where(enable, dx, 0.0)
         P_new = jnp.where(enable, P_new, fs.P)
-    return inject_error(cfg, fs, dx).replace(P=P_new), dx
+    return inject_error(cfg, fs, dx).replace(P=P_new), dx, finite
 
 
 def inject_error(cfg: VioConfig, fs: FilterState, dx: jnp.ndarray) -> FilterState:

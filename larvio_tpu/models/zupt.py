@@ -111,7 +111,7 @@ def zupt_update(cfg: VioConfig, fs: FilterState, stationary: jnp.ndarray) -> Fil
     # ~100-op update chain. Under fleet vmap this lowers to select (both
     # branches) — identical to the old enable-masked form.
     def do(fs_):
-        fs_new, _ = apply_update(cfg, fs_, H, r, noise, enable=enable)
+        fs_new, _, _ = apply_update(cfg, fs_, H, r, noise, enable=enable)
         return fs_new
 
     return jax.lax.cond(enable, do, lambda fs_: fs_, fs)

@@ -159,6 +159,98 @@ class TestCheckpoint:
         )
 
 
+class TestFleetCheckpoint:
+    def test_fleet_resume_equals_uninterrupted(self, tmp_path):
+        """Fleet (vmapped) checkpoint/resume (VERDICT r3 #9): save the batched
+        VioState at frame k, restore into a fresh template, continue — the
+        stitched per-lane trajectories match an uninterrupted fleet run."""
+        import jax
+        from larvio_tpu.api import make_frame_inputs
+        from larvio_tpu.config import VioConfig, FilterConfig, FrontendConfig
+        from larvio_tpu.data.sim import SimConfig, Simulator
+        from larvio_tpu.parallel.fleet import init_fleet_state, run_fleet_sequence
+        from larvio_tpu.utils.checkpoint import restore_state, save_state
+
+        cfg = VioConfig(
+            filter=FilterConfig(max_clones=8, max_update_features=12,
+                                imu_slots_per_frame=24),
+            frontend=FrontendConfig(max_features=48),
+        )
+        B = 3
+        datas = [
+            Simulator(
+                SimConfig(duration=6.0, n_landmarks=300, pixel_noise=0.002,
+                          seed=s),
+                cfg,
+            ).generate()
+            for s in range(B)
+        ]
+        stacked = {k: np.stack([d[k] for d in datas], axis=1) for k in datas[0]}
+        feats, imu = make_frame_inputs(stacked)
+        T = stacked["t_img"].shape[0]
+        k = T // 2
+
+        vs_u, outs_u = run_fleet_sequence(cfg, init_fleet_state(cfg, B), feats, imu)
+
+        first = jax.tree.map(lambda a: a[:k], (feats, imu))
+        second = jax.tree.map(lambda a: a[k:], (feats, imu))
+        vs1, outs_a = run_fleet_sequence(cfg, init_fleet_state(cfg, B), *first)
+        path = str(tmp_path / "fleet.npz")
+        save_state(path, vs1)
+        vs_r = restore_state(path, init_fleet_state(cfg, B))
+        vs2, outs_b = run_fleet_sequence(cfg, vs_r, *second)
+
+        p_u = np.asarray(outs_u.p)  # (T, B, 3)
+        p_i = np.concatenate([np.asarray(outs_a.p), np.asarray(outs_b.p)], axis=0)
+        m = np.asarray(outs_u.initialized).astype(bool)
+        assert m.sum() > 3 * 40
+        np.testing.assert_allclose(p_i[m], p_u[m], atol=1e-4)
+        # every lane's final filter state survives the roundtrip
+        np.testing.assert_allclose(
+            np.asarray(vs2.filter.p), np.asarray(vs_u.filter.p), atol=1e-4
+        )
+
+
+class TestLiveView:
+    def test_live_smoke(self, tmp_path):
+        """--live (VERDICT r3 #9): the streaming loop refreshes a
+        trajectory-so-far PNG every live_every frames (Agg backend)."""
+        from larvio_tpu.config import VioConfig, FilterConfig, FrontendConfig
+        from larvio_tpu.cli import _run_streaming
+        from larvio_tpu.data.render import render_sequence
+        from larvio_tpu.data.sim import SimConfig, Simulator
+
+        cfg = VioConfig(
+            filter=FilterConfig(max_clones=8, max_update_features=12,
+                                imu_slots_per_frame=24),
+            frontend=FrontendConfig(max_features=48),
+        )
+        sim = Simulator(SimConfig(duration=4.0, n_landmarks=300), cfg)
+        data = sim.generate()
+        imgs = np.asarray(render_sequence(cfg, sim, data["t_img"]))
+        T = len(data["t_img"])
+
+        def frames():
+            for i in range(T):
+                yield dict(
+                    image=imgs[i], t_img=data["t_img"][i],
+                    imu_t=data["imu_t"][i], imu_w=data["imu_w"][i],
+                    imu_a=data["imu_a"][i], imu_valid=data["imu_valid"][i],
+                )
+
+        png = str(tmp_path / "live.png")
+        t, p, q, init, stats, fps, ps = _run_streaming(
+            cfg, frames(), init_mode="static", live=png, live_every=20
+        )
+        assert os.path.exists(png)
+        assert os.path.getsize(png) > 1000  # a real rendered figure
+        first_mtime = os.path.getmtime(png)
+        # a second run re-writes the same PNG (the live view REFRESHES)
+        _run_streaming(cfg, frames(), init_mode="static", live=png, live_every=20)
+        assert os.path.getmtime(png) >= first_mtime
+        assert p.shape[0] == T and np.isfinite(p[init]).all()
+
+
 class TestConfigYaml:
     def test_reference_style_yaml(self, tmp_path):
         yml = textwrap.dedent(

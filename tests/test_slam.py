@@ -65,7 +65,7 @@ class TestDelayedInit:
             blocks, consumed, idx, tri, sel = _consume_blocks(cfg, fs, cand)
             H = blocks.H.reshape(-1, D)
             r = blocks.r.reshape(-1)
-            fs2, dx = apply_update(cfg, fs, H, r, sig**2, enable=jnp.asarray(True))
+            fs2, dx, _ = apply_update(cfg, fs, H, r, sig**2, enable=jnp.asarray(True))
             fs3 = slam_mod.promote_features(
                 cfg, fs2, blocks, tri, idx, sel, dx,
                 anchor_slot=jnp.asarray(anchor),
@@ -229,7 +229,7 @@ class TestRhoInflation:
         blocks, consumed, idx, tri, sel = _consume_blocks(cfg, fs, cand)
         H = blocks.H.reshape(-1, D)
         r = blocks.r.reshape(-1)
-        fs2, dx = apply_update(cfg, fs, H, r, sig**2, enable=jnp.asarray(True))
+        fs2, dx, _ = apply_update(cfg, fs, H, r, sig**2, enable=jnp.asarray(True))
         fs3 = slam_mod.promote_features(
             cfg, fs2, blocks, tri, idx, sel, dx, anchor_slot=jnp.asarray(C - 1)
         )

@@ -156,6 +156,16 @@ class FilterConfig:
     # units: the landmark's initial rho sigma is scaled by sqrt(1 + k^2).
     # 0 disables.
     slam_init_rho_inflation: float = 0.0
+    # lifetime cap (frames) on in-state slam features; 0 disables. Pure FEJ
+    # freezes the promotion-time linearization error of a landmark into every
+    # subsequent 2-row Jacobian; over a feature's (unbounded) lifetime those
+    # slightly-biased updates compound into position overconfidence at
+    # tightly-modeled noise (ROADMAP #4). Capping the lifetime drops the
+    # feature and lets the still-alive track re-promote through the EXACT
+    # delayed-init channel ~slam_promote_obs frames later — an honest,
+    # covariance-consistent relinearization (unlike a bare null refresh,
+    # which leaks observability — the r3 slam_relin_sigma ablation).
+    slam_max_lifetime: int = 0
     # relinearize a slam feature's FEJ null when the estimate has moved more
     # than this many feature-sigmas away from it (models/slam.py
     # relinearize_nulls): pure FEJ freezes the promotion-time triangulation

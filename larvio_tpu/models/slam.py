@@ -555,6 +555,7 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
         slam=fs.slam.replace(
             idp=idp_new, idp_null=null_new, anchor_slot=anch_new,
             track_slot=tslot_new, track_id=tid_new, valid=valid_new,
+            age=jnp.where(tk, 0, fs.slam.age),
         ),
         P=P,
     )
@@ -746,7 +747,13 @@ def relinearize_nulls(cfg: VioConfig, fs: FilterState) -> FilterState:
 
 
 def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
-    """Drop slam features whose track died or which fail gating hard."""
+    """Drop slam features whose track died, fail gating hard, or aged out.
+
+    The lifetime cap (``slam_max_lifetime``, 0 = off) drops a still-healthy
+    feature so its live track re-promotes with a fresh exact delayed init —
+    bounding how long a frozen (biased) linearization point can keep feeding
+    Jacobians (the exact-noise position-overconfidence mechanism, ROADMAP #4).
+    """
     S = cfg.filter.max_slam_features
     if S == 0:
         return fs
@@ -757,7 +764,12 @@ def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
         & feats.valid[slot]
         & (feats.ids[slot] == fs.slam.track_id)
     )
-    drop = fs.slam.valid & (~tracked | hard_fail)
+    age = fs.slam.age + fs.slam.valid.astype(jnp.int32)
+    if cfg.filter.slam_max_lifetime > 0:
+        expired = fs.slam.valid & (age > cfg.filter.slam_max_lifetime)
+    else:
+        expired = jnp.zeros_like(fs.slam.valid)
+    drop = fs.slam.valid & (~tracked | hard_fail | expired)
 
     D = state_dim(cfg)
     P = fs.P
@@ -779,6 +791,7 @@ def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
             track_id=jnp.where(drop, -1, fs.slam.track_id),
             track_slot=jnp.where(drop, -1, fs.slam.track_slot),
             anchor_slot=jnp.where(drop, -1, fs.slam.anchor_slot),
+            age=jnp.where(drop, 0, age),
         ),
         P=P,
     )

@@ -94,6 +94,7 @@ class SlamFeatures:
     track_slot: jnp.ndarray  # (S,) int32 front-end slot currently feeding it (-1 free)
     track_id: jnp.ndarray  # (S,) int32 id of the owning track
     valid: jnp.ndarray  # (S,) bool
+    age: jnp.ndarray  # (S,) int32 frames since promotion (slam_max_lifetime cap)
 
 
 @struct.dataclass
@@ -194,6 +195,7 @@ def init_filter_state(cfg: VioConfig, dtype=jnp.float32) -> FilterState:
             track_slot=jnp.full(S, -1, jnp.int32),
             track_id=jnp.full(S, -1, jnp.int32),
             valid=jnp.zeros(S, bool),
+            age=jnp.zeros(S, jnp.int32),
         ),
         obs=ObservationTable(
             uv=jnp.zeros((F, C, 2), dtype),

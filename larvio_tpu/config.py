@@ -227,6 +227,15 @@ class FilterConfig:
     reset_bg_std: float = 0.01  # gyro bias when bg survived (rad/s)
     reset_ba_std: float = 0.05  # accel bias when ba survived (m/s^2)
     reset_td_std: float = 5e-3  # td when td survived (s)
+    # roll/pitch prior when attitude did NOT survive and the restart is
+    # seeded from the accelerometer's gravity direction (tilt error of the
+    # seed ~ |a_linear|/g; see msckf.py reset block). Keep this TIGHT: the
+    # re-bootstrap must re-learn monocular scale from the accelerometer, and
+    # a wide roll/pitch prior lets the filter explain the scale-induced accel
+    # residual as tilt instead (observed: at 0.2 rad the restart locks in a
+    # ~2x scale error with ba absorbing the periodic residual; at 0.05 rad
+    # the same fault recovers)
+    reset_accel_seed_rp_std: float = 0.05  # rad
     # triangulation-residual acceptance bound while in bootstrap mode (the
     # steady-state bound is tri_max_reproj_err; see msckf._tri_err_bound)
     bootstrap_tri_err_bound: float = 0.3

@@ -236,8 +236,20 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # ---- 2. propagation ---------------------------------------------------
     with jax.named_scope("filt.propagate"):
         fs_prop = propagate(cfg, fs_init, imu, feats.t)
+        # sqrt path: propagation returns a WIDE factor (D, D+15) — the
+        # process-noise columns ride along until the frame's measurement
+        # update re-compresses (see _apply_frame_transition). Zero-pad the
+        # un-propagated branch to match (implied covariance unchanged).
+        fs_init_m = fs_init
+        if fs_prop.P.shape != fs_init.P.shape:
+            fs_init_m = fs_init.replace(
+                P=jnp.pad(
+                    fs_init.P,
+                    ((0, 0), (0, fs_prop.P.shape[1] - fs_init.P.shape[1])),
+                )
+            )
         fs = jax.tree.map(
-            lambda a, b: jnp.where(inited, a, b), fs_prop, fs_init
+            lambda a, b: jnp.where(inited, a, b), fs_prop, fs_init_m
         )
 
     # ---- 3. ZUPT detection ------------------------------------------------
@@ -416,16 +428,19 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # m/s for the rest of the run). Tight-but-adaptive priors on surviving
     # calibration keep the transient in the fast states where vision can
     # correct it in a few frames.
-    P_reset = initial_covariance(cfg, dtype, mode="dynamic")
-    ar = jnp.arange(P_reset.shape[0])
+    # the reset prior is DIAGONAL — build it as a (D,) vector and materialize
+    # the matrix once at the select below (the former per-knob fill_diagonal
+    # chain copied the full (D,D) six times per frame, ~70 us of pure
+    # bookkeeping on the hot path)
+    d_reset = jnp.diagonal(initial_covariance(cfg, dtype, mode="dynamic"))
+    ar = jnp.arange(d_reset.shape[0])
 
-    def _cal_var(P, i0, n, var_keep, survived):
+    def _cal_var(d, i0, n, var_keep, survived):
         # gate on the STATE surviving finite, not on the old P: P is exactly
         # what went non-finite in a NaN fault, yet a finite estimate carries
         # its pre-fault accuracy regardless
         m = (ar >= i0) & (ar < i0 + n)
-        new_d = jnp.where(m & survived, var_keep, jnp.diagonal(P))
-        return jnp.fill_diagonal(P, new_d, inplace=False)
+        return jnp.where(m & survived, var_keep, d)
 
     # attitude survives most faults finite (gyro-only integration drifts only
     # ~0.1 deg/s with a good bg) — and it is the MOST expensive state to
@@ -435,15 +450,21 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # the static-init trust level when q survived.
     q_ok = jnp.all(jnp.isfinite(fs.q))
     fcfg = cfg.filter
-    P_reset = _cal_var(P_reset, 0, 2, jnp.asarray(fcfg.reset_rp_std, dtype) ** 2, q_ok)
-    P_reset = _cal_var(P_reset, 2, 1, jnp.asarray(fcfg.reset_yaw_std, dtype) ** 2, q_ok)
-    P_reset = _cal_var(P_reset, 3, 3, jnp.asarray(fcfg.reset_bg_std, dtype) ** 2,
+    d_reset = _cal_var(d_reset, 0, 2, jnp.asarray(fcfg.reset_rp_std, dtype) ** 2, q_ok)
+    d_reset = _cal_var(d_reset, 2, 1, jnp.asarray(fcfg.reset_yaw_std, dtype) ** 2, q_ok)
+    # attitude DID NOT survive (gyro fault): the restart is accel-seeded (see
+    # q_fallback below) with tilt error ~|a_linear|/g — open roll/pitch to
+    # cover it (the dynamic prior's 0.12 rad is ~1 sigma of a brisk-motion
+    # seed; 0.2 rad keeps a ~10 deg seed error inside 1 sigma)
+    d_reset = _cal_var(d_reset, 0, 2, jnp.asarray(fcfg.reset_accel_seed_rp_std,
+                                                  dtype) ** 2, ~q_ok)
+    d_reset = _cal_var(d_reset, 3, 3, jnp.asarray(fcfg.reset_bg_std, dtype) ** 2,
                        jnp.all(jnp.isfinite(fs.bg)))
-    P_reset = _cal_var(P_reset, 9, 3, jnp.asarray(fcfg.reset_ba_std, dtype) ** 2,
+    d_reset = _cal_var(d_reset, 9, 3, jnp.asarray(fcfg.reset_ba_std, dtype) ** 2,
                        jnp.all(jnp.isfinite(fs.ba)))
     if cfg.filter.estimate_td:
         from larvio_tpu.models.state import IDX_TD
-        P_reset = _cal_var(P_reset, IDX_TD, 1,
+        d_reset = _cal_var(d_reset, IDX_TD, 1,
                            jnp.asarray(fcfg.reset_td_std, dtype) ** 2,
                            jnp.isfinite(fs.td))
     # the reset must also sanitize the NOMINAL state: a NaN-poisoned
@@ -457,7 +478,23 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         bad = do_reset & ~jnp.all(jnp.isfinite(x))
         return jnp.where(bad, jnp.asarray(fallback, dtype), x)
 
-    q_s = _san(fs.q, jnp.array([0.0, 0.0, 0.0, 1.0]))
+    # attitude fallback: identity is arbitrarily wrong mid-motion (tens of
+    # degrees of tilt -> a ~5 m/s^2 gravity leak the bootstrap channel cannot
+    # fight; observed: after a 1 s NaN-GYRO fault the filter never
+    # re-converged, median velocity error 0.87 m/s for the rest of the run).
+    # Re-seed roll/pitch from the newest finite accelerometer sample's gravity
+    # direction — the static initializer's move, valid to ~|a_lin|/g — and
+    # fall back to identity only if the accel is unusable too.
+    from larvio_tpu.models.initializer import gravity_aligned_quat
+
+    last_v = jnp.argmax(jnp.where(imu.valid, imu.t, -jnp.inf))
+    a_seed = imu.a[last_v]
+    a_ok = jnp.all(jnp.isfinite(a_seed)) & (
+        jnp.linalg.norm(jnp.where(jnp.isfinite(a_seed), a_seed, 0.0)) > 1.0
+    )
+    q_grav = gravity_aligned_quat(jnp.where(jnp.isfinite(a_seed), a_seed, 0.0))
+    q_fallback = jnp.where(a_ok, q_grav, jnp.array([0.0, 0.0, 0.0, 1.0], dtype))
+    q_s = _san(fs.q, q_fallback)
     # a FINITE velocity estimate survives the reset (a variance blow-up's v is
     # still far closer to truth than 0); only a non-finite v restarts at zero
     v_s = _san(fs.v, jnp.zeros(3))
@@ -468,10 +505,10 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     td_s = _san(fs.td, cfg.filter.td_initial)
     fs = fs.replace(
         # sqrt mode: fs.P holds a factor — the diagonal reset prior's
-        # factor is its elementwise sqrt
+        # factor is diag(sqrt(d)). Materialized from the vector ONCE here.
         P=jnp.where(
             do_reset,
-            jnp.sqrt(P_reset) if cfg.filter.sqrt_form else P_reset,
+            jnp.diag(jnp.sqrt(d_reset) if cfg.filter.sqrt_form else d_reset),
             fs.P,
         ),
         q=q_s, v=v_s, p=p_s, bg=bg_s, ba=ba_s, time=t_s, td=td_s,

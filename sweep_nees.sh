@@ -1,0 +1,14 @@
+#!/bin/bash
+# Chained 20-seed exact-noise NEES sweeps (serialized: one TPU).
+cd /root/repo
+for args in \
+  "slam_max_lifetime=40" \
+  "slam_max_lifetime=20" \
+  "slam_max_lifetime=40 slam_init_noise_floor=0.02" \
+  "slam_max_lifetime=40 slam_promote_obs=20" \
+  "slam_max_lifetime=30" \
+  "" \
+  ; do
+  echo "=== $args"
+  timeout 900 python diag_nees.py $args 2>/dev/null | tail -1
+done

@@ -277,16 +277,22 @@ def _apply_frame_transition(cfg, P, Phi_acc, Q_acc):
 
     Factor form (sqrt_form): the transition is a row op on the factor
     (S[:15] <- Phi S[:15]); the process noise stacks its own factor as 15
-    extra columns, and psd_factor re-compresses — the propagated covariance
-    is PSD by construction.
+    extra columns. The WIDE (D, D+15) factor is returned as-is — every
+    in-frame consumer (cov_diag, gates, augmentation, prune, re-anchor, the
+    Gram-form updates) is a row op or Gram product that works at any factor
+    width, and the frame's measurement update re-compresses to square via its
+    unconditional psd_factor (models/update.py apply_update). Deferring the
+    compression drops a full CholeskyQR2 (2 Cholesky custom calls + a blocked
+    triangular solve + 2 (D,W) GEMMs) from every frame; the implied
+    covariance is unchanged and still PSD by construction.
     """
     if cfg.filter.sqrt_form:
-        from larvio_tpu.core.linalg import psd_chol, psd_factor
+        from larvio_tpu.core.linalg import psd_chol
 
         S = P.at[:IMU_DIM, :].set(mm(Phi_acc, P[:IMU_DIM, :]))
         Lq = psd_chol(Q_acc)
         col = jnp.zeros((S.shape[0], IMU_DIM), S.dtype).at[:IMU_DIM, :].set(Lq)
-        return psd_factor(jnp.concatenate([S, col], axis=1))
+        return jnp.concatenate([S, col], axis=1)
     top = mm(Phi_acc, P[:IMU_DIM, :])
     P = P.at[:IMU_DIM, :].set(top)
     P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi_acc.T))

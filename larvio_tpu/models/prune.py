@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from larvio_tpu.config import VioConfig
 from larvio_tpu.core.quaternion import quat_inverse, quat_multiply, quat_to_rotation
 from larvio_tpu.core.so3 import so3_log
-from larvio_tpu.models.state import FilterState, clone_offset, CLONE_DIM, state_dim
+from larvio_tpu.models.state import FilterState, CLONE_BASE, CLONE_DIM, state_dim
 
 
 def select_redundant(cfg: VioConfig, fs: FilterState) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -70,13 +70,17 @@ def remove_clones(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune) -> 
     # Factor form: zeroing the slot's ROWS of S zeroes the implied P rows AND
     # cols (P = S S^T); the slot's factor columns are basis directions shared
     # with other states and must NOT be zeroed.
+    # one masked write for both slots: a row belongs to clone (row-base)//6;
+    # ``sel`` already carries do_prune. jnp.where (not a 0/1 multiply) so
+    # poisoned (NaN/inf) rows still clear exactly.
     P = fs.P
-    zero6 = jnp.zeros((CLONE_DIM, D), P.dtype)
-    for slot in (slot_a, slot_b):
-        off = clone_offset(slot)
-        Pa = jax.lax.dynamic_update_slice(P, zero6, (off, 0))
-        if not cfg.filter.sqrt_form:
-            Pa = jax.lax.dynamic_update_slice(Pa, zero6.T, (0, off))
-        P = jnp.where(do_prune, Pa, P)
+    ar = jnp.arange(D)
+    in_clones = (ar >= CLONE_BASE) & (ar < CLONE_BASE + C * CLONE_DIM)
+    row_cleared = in_clones & jnp.take(
+        sel, jnp.clip((ar - CLONE_BASE) // CLONE_DIM, 0, C - 1)
+    )
+    P = jnp.where(row_cleared[:, None], jnp.zeros((), P.dtype), P)
+    if not cfg.filter.sqrt_form:
+        P = jnp.where(row_cleared[None, :], jnp.zeros((), P.dtype), P)
 
     return fs.replace(clones=clones, obs=obs, P=P)

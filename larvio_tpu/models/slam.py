@@ -213,20 +213,23 @@ def slam_measurement_blocks(cfg: VioConfig, fs: FilterState, feats, newest_slot)
 
     # assemble rows: observer clone block, anchor clone block (ADDED — anchor
     # may coincide with the observer), extrinsic, own idp block
+    # clone-window columns built BATCHED — the former vmapped
+    # dynamic_update_slice pair lowered to a 12-iteration while loop of full
+    # (S,2,D) copies (~70 us/frame of pure serialization). The observer
+    # offset is shared (one 3-D update); the per-feature anchor block scatters
+    # through a one-hot einsum (S·2·6·C flops — trivial, fully parallel).
     H = jnp.zeros((S, 2, D), dtype)
     off_obs = CLONE_BASE + CLONE_DIM * newest_slot
     obs_block = jnp.concatenate([H_theta, H_p_obs], axis=-1)  # (S,2,6)
-    H = jax.vmap(
-        lambda Hrow, blk: jax.lax.dynamic_update_slice(Hrow, blk, (0, off_obs))
-    )(H, obs_block)
+    H = jax.lax.dynamic_update_slice(H, obs_block, (0, 0, off_obs))
     anc_block = jnp.concatenate([H_thA, H_pA], axis=-1)  # (S,2,6)
-    off_anc = CLONE_BASE + CLONE_DIM * jnp.clip(fs.slam.anchor_slot, 0, C - 1)
-
-    def add_anchor(Hrow, blk, off):
-        cur = jax.lax.dynamic_slice(Hrow, (0, off), (2, CLONE_DIM))
-        return jax.lax.dynamic_update_slice(Hrow, cur + blk, (0, off))
-
-    H = jax.vmap(add_anchor)(H, anc_block, off_anc)
+    anc_onehot = jax.nn.one_hot(
+        jnp.clip(fs.slam.anchor_slot, 0, C - 1), C, dtype=dtype
+    )  # (S, C)
+    anc_cols = jnp.einsum("sij,sc->sicj", anc_block, anc_onehot).reshape(
+        S, 2, C * CLONE_DIM
+    )
+    H = H.at[:, :, CLONE_BASE : CLONE_BASE + C * CLONE_DIM].add(anc_cols)
     if cfg.filter.estimate_extrinsic:
         H = H.at[:, :, IDX_EXT_THETA:IDX_EXT_THETA + 3].set(H_ext_theta)
         H = H.at[:, :, IDX_EXT_P:IDX_EXT_P + 3].set(H_ext_p)
@@ -661,10 +664,14 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
     base = slam_offset(cfg, 0)
     nS = S * SLAM_DIM
     P = fs.P
+    # factor width W — may exceed D while the factor is propagation-wide
+    # (sqrt path defers its compression to the frame's update); every op
+    # below is a row op, valid at any width
+    W = P.shape[1]
     gidx = ao_all[:, None] + jnp.arange(CLONE_DIM)[None, :]  # (S,6)
-    rows_f = P[base : base + nS, :].reshape(S, SLAM_DIM, D)
-    rows_a = P[gidx.reshape(-1), :].reshape(S, CLONE_DIM, D)
-    rows_b = jax.lax.dynamic_slice(P, (bo, 0), (CLONE_DIM, D))
+    rows_f = P[base : base + nS, :].reshape(S, SLAM_DIM, W)
+    rows_a = P[gidx.reshape(-1), :].reshape(S, CLONE_DIM, W)
+    rows_b = jax.lax.dynamic_slice(P, (bo, 0), (CLONE_DIM, W))
     rows_e = P[IDX_EXT_THETA : IDX_EXT_THETA + 6, :]
     new_rows = (
         jnp.einsum("sab,sbd->sad", G_f, rows_f)
@@ -676,7 +683,7 @@ def reanchor_on_prune(cfg: VioConfig, fs: FilterState, slot_a, slot_b, do_prune)
     new_rows = jnp.where(ok[:, None, None], new_rows, rows_f)
     new_rows = jnp.where(keep[:, None, None], rows_f, new_rows)
     new_rows = jnp.where(dead[:, None, None], 0.0, new_rows)
-    P = P.at[base : base + nS, :].set(new_rows.reshape(nS, D))
+    P = P.at[base : base + nS, :].set(new_rows.reshape(nS, W))
 
     if not cfg.filter.sqrt_form:
         # dense only: mirror the congruence on the columns. In factor form the
@@ -774,17 +781,20 @@ def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
     D = state_dim(cfg)
     P = fs.P
 
-    def clear(carry, s):
-        P = carry
-        off = slam_offset(cfg, s)
-        zero_rows = jnp.zeros((SLAM_DIM, D), P.dtype)
-        Pa = jax.lax.dynamic_update_slice(P, zero_rows, (off, 0))
-        if not cfg.filter.sqrt_form:
-            # factor form: zero rows alone zero the implied P rows AND cols
-            Pa = jax.lax.dynamic_update_slice(Pa, zero_rows.T, (0, off))
-        return jnp.where(drop[s], Pa, P), None
-
-    P, _ = jax.lax.scan(clear, P, jnp.arange(S))
+    # zero the dropped slots' covariance rows (and cols in dense form) in ONE
+    # masked write — the slam block is the tail of the state, so a row's slot
+    # is (row - base) // SLAM_DIM. (The former per-slot lax.scan of
+    # dynamic_update_slice copied the full (D,D) S times per frame; jnp.where
+    # is NaN-safe where a 0/1 multiply is not — poisoned rows must clear.)
+    base = slam_offset(cfg, 0)
+    ar = jnp.arange(D)
+    row_dropped = (ar >= base) & jnp.take(
+        drop, jnp.clip((ar - base) // SLAM_DIM, 0, S - 1)
+    )
+    P = jnp.where(row_dropped[:, None], jnp.zeros((), P.dtype), P)
+    if not cfg.filter.sqrt_form:
+        # factor form: zero rows alone zero the implied P rows AND cols
+        P = jnp.where(row_dropped[None, :], jnp.zeros((), P.dtype), P)
     return fs.replace(
         slam=fs.slam.replace(
             valid=fs.slam.valid & ~drop,

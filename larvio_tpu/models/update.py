@@ -343,18 +343,27 @@ def sqrt_update_gram(S, Hw, rw, refactor: bool):
     refactor=True re-triangularizes through psd_factor: slam promotion writes
     measurement-noise factor blocks into freed slots' columns and requires
     them structurally zero (models/slam.py promote_features), which only the
-    Jacobi-normalized Cholesky factor guarantees. Updates that no consumer
-    with that requirement reads before the next psd_factor (the
-    marginalization update — the hybrid update re-factors later the same
-    frame) pass False and skip the 2 extra chols.
+    Jacobi-normalized Cholesky factor guarantees. The production caller
+    (apply_update) always passes False and applies psd_factor itself AFTER
+    its finite/enable selects — so the rejection fallback is refactored too
+    and the propagation-wide factor (see _apply_frame_transition) is squared
+    exactly once per frame; the parameter is kept for direct/unit-test use.
     """
-    D = S.shape[0]
-    T = mm(Hw, S)  # (n, D) — whitened rows in the factor basis
-    A = symmetrize(mm(T.T, T)) + jnp.eye(D, dtype=S.dtype)
+    D, W = S.shape  # W > D when the factor is still propagation-wide
+    T = mm(Hw, S)  # (n, W) — whitened rows in the factor basis
+    A = symmetrize(mm(T.T, T)) + jnp.eye(W, dtype=S.dtype)
     L = jax.lax.linalg.cholesky(A)
-    g = mm(T.T, rw[:, None])  # (D, 1)
-    dx = mm(S, jax.scipy.linalg.cho_solve((L, True), g))[:, 0]
-    Sn = jax.scipy.linalg.solve_triangular(L, S.T, lower=True).T  # S L^{-T}
+    g = mm(T.T, rw[:, None])  # (W, 1)
+    # ONE triangular solve with a combined RHS: L^{-1} [S^T | g] gives both
+    # Sn = S L^{-T} = (L^{-1} S^T)^T and z = L^{-1} g, and
+    # dx = S A^{-1} g = S L^{-T} (L^{-1} g) = Sn z — the second solve of the
+    # former cho_solve pair is algebraically redundant (each triangular-solve
+    # call costs a blocked InvertDiagBlocks custom-call chain on TPU).
+    Y = jax.scipy.linalg.solve_triangular(
+        L, jnp.concatenate([S.T, g], axis=1), lower=True
+    )  # (D, D+1)
+    Sn = Y[:, :D].T
+    dx = mm(Sn, Y[:, D:])[:, 0]
     # a NaN factorization (cannot happen for finite inputs — A >= I — but a
     # NaN-poisoned stack propagates) is contained by apply_update's
     # finite-guard, which rejects the whole update.
@@ -387,12 +396,23 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
     rw = r / sig
     if cfg.filter.sqrt_form:
         if n > D:
-            # tall stack: Woodbury/Gram form — one chol, no explicit compression
-            dx, P_new = sqrt_update_gram(fs.P, Hw, rw, refactor)
+            # tall stack: Woodbury/Gram form — one chol, no explicit
+            # compression. The refactor runs BELOW, after the finite/enable
+            # selects: (a) the rejection fallback fs.P is then refactored too,
+            # making promote_features' freed-column-zero invariant hold even
+            # on a rejected update (ADVICE r3 #1), and (b) when fs.P is still
+            # propagation-wide (D, W>D), the fallback and the update output
+            # have the same wide shape and ONE psd_factor squares either.
+            dx, P_new = sqrt_update_gram(fs.P, Hw, rw, refactor=False)
         else:
             # small system (e.g. the 9-row ZUPT): the (n, n) innovation chol
-            # is cheaper than the (D, D) Gram chol
+            # is cheaper than the (D, D) Gram chol. sqrt_update returns a
+            # SQUARE factor; when the input was still propagation-wide, pad
+            # with zero columns (implied covariance unchanged) so the
+            # fallback select below stays shape-consistent.
             dx, P_new = sqrt_update(fs.P, Hw, rw)
+            if fs.P.shape[1] > D:
+                P_new = jnp.pad(P_new, ((0, 0), (0, fs.P.shape[1] - D)))
     else:
         if n > D:
             # QR compression to D rows (ref: Givens/QR measurement compression)
@@ -412,6 +432,16 @@ def apply_update(cfg: VioConfig, fs: FilterState, H: jnp.ndarray, r: jnp.ndarray
     if enable is not None:
         dx = jnp.where(enable, dx, 0.0)
         P_new = jnp.where(enable, P_new, fs.P)
+    if cfg.filter.sqrt_form and refactor and (n > D or P_new.shape[1] > D):
+        # square the (possibly wide, possibly fallback) factor exactly once
+        # per frame — the ONLY CholeskyQR2 on the hot path (propagation defers
+        # its compression here; see _apply_frame_transition). Skipped when the
+        # factor is already square (ZUPT path): sqrt_update refactors
+        # internally and a square fallback was refactored by the frame's
+        # earlier update.
+        from larvio_tpu.core.linalg import psd_factor
+
+        P_new = psd_factor(P_new)
     return inject_error(cfg, fs, dx).replace(P=P_new), dx, finite
 
 

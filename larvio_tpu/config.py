@@ -245,6 +245,15 @@ class FilterConfig:
     # initialization
     static_init_samples: int = 200  # IMU samples for static initialization
     static_init_accel_var: float = 0.25  # stationarity gate on |a| variance
+    # static-init image stillness gate: window-mean of the front-end's
+    # per-frame mean normalized-plane track displacement must stay below
+    # this. REQUIRED evidence alongside the accel gate (constant-velocity
+    # translation is IMU-indistinguishable from rest). Sits between the
+    # tracking noise floor (~0.0035 at 0.002-normalized pixel noise) and the
+    # slowest real motion of interest (~0.0065 at 1 m/s, 5-10 m scene);
+    # deliberately looser than zupt_max_feature_dis, whose false-negative
+    # cost is just a skipped ZUPT rather than a v=0 init mid-motion.
+    static_init_max_feature_dis: float = 5e-3
     # bootstrap: while velocity uncertainty is above this, consume the longest
     # live tracks every frame (marginalizing MSCKF updates without waiting for
     # track death or a full window) — the correction channel right after a

@@ -96,12 +96,36 @@ class FlexibleInitializer:
     # ------------------------------------------------------------------
     def _stationary(self) -> bool:
         """Strict stillness: a slow smooth ramp must NOT pass as static
-        (a wrong static init bakes a velocity error into the filter)."""
+        (a wrong static init bakes a velocity error into the filter).
+
+        Image stillness is REQUIRED evidence, not a refinement: constant
+        velocity is IMU-indistinguishable from rest (a = R g, w = bias in
+        both — measured on the moving-start sim, where cruise windows pass
+        the accel AND gyro gates), so a False here must fall through to the
+        dynamic path rather than lock it out. Mirrors the on-device gate
+        (models/initializer.try_static_init)."""
         a = np.concatenate([f["imu_a"] for f in self.frames])
         w = np.concatenate([f["imu_w"] for f in self.frames])
         acc_still = float(np.var(np.linalg.norm(a, axis=1))) < 0.02
         gyro_still = float(np.abs(w - w.mean(axis=0)).max()) < 0.02
-        return acc_still and gyro_still
+        return acc_still and gyro_still and self._image_still()
+
+    def _image_still(self) -> bool:
+        """Mean per-frame track displacement over the window below the
+        static-init gate (see FilterConfig.static_init_max_feature_dis)."""
+        disp, n_pairs = 0.0, 0
+        for f0, f1 in zip(self.frames[:-1], self.frames[1:]):
+            common, i0, i1 = np.intersect1d(
+                f0["ids"], f1["ids"], return_indices=True
+            )
+            if len(common) >= 5:
+                disp += float(
+                    np.mean(np.linalg.norm(f1["uv"][i1] - f0["uv"][i0], axis=1))
+                )
+                n_pairs += 1
+        if n_pairs == 0:
+            return False  # no evidence -> conservatively "moving"
+        return disp / n_pairs < self.cfg.filter.static_init_max_feature_dis
 
     def try_init(self) -> Optional[InitResult]:
         if len(self.frames) < self.window:

@@ -31,13 +31,15 @@ from larvio_tpu.models.state import FilterState, initial_covariance
 
 @struct.dataclass
 class InitAccumulator:
-    """Running IMU moments for the static initializer."""
+    """Running IMU moments + image-motion evidence for the static initializer."""
 
     sum_w: jnp.ndarray  # (3,)
     sum_a: jnp.ndarray  # (3,)
     sum_a2: jnp.ndarray  # () sum |a|^2
     count: jnp.ndarray  # () int32
     last_t: jnp.ndarray  # ()
+    sum_motion: jnp.ndarray  # () sum of per-frame mean image motion
+    n_frames: jnp.ndarray  # () int32 frames in this window
 
     @classmethod
     def zero(cls, dtype=jnp.float32):
@@ -47,10 +49,20 @@ class InitAccumulator:
             sum_a2=jnp.asarray(0.0, dtype),
             count=jnp.asarray(0, jnp.int32),
             last_t=jnp.asarray(0.0, dtype),
+            sum_motion=jnp.asarray(0.0, dtype),
+            n_frames=jnp.asarray(0, jnp.int32),
         )
 
 
-def accumulate(acc: InitAccumulator, imu: ImuBatch) -> InitAccumulator:
+def accumulate(
+    acc: InitAccumulator, imu: ImuBatch, mean_motion: jnp.ndarray
+) -> InitAccumulator:
+    """Fold one frame's IMU samples + image-motion summary into the window.
+
+    ``mean_motion`` is the front-end's per-frame mean normalized-plane track
+    displacement (1.0 sentinel = "nothing tracked", which conservatively
+    reads as motion).
+    """
     m = imu.valid
     mf = m.astype(imu.a.dtype)
     return acc.replace(
@@ -59,6 +71,8 @@ def accumulate(acc: InitAccumulator, imu: ImuBatch) -> InitAccumulator:
         sum_a2=acc.sum_a2 + jnp.sum(jnp.sum(imu.a * imu.a, axis=-1) * mf),
         count=acc.count + jnp.sum(m).astype(jnp.int32),
         last_t=jnp.maximum(acc.last_t, jnp.max(jnp.where(m, imu.t, -jnp.inf))),
+        sum_motion=acc.sum_motion + mean_motion.astype(acc.sum_motion.dtype),
+        n_frames=acc.n_frames + 1,
     )
 
 
@@ -86,15 +100,37 @@ def gravity_aligned_quat(mean_a: jnp.ndarray) -> jnp.ndarray:
 
 
 def try_static_init(cfg: VioConfig, fs: FilterState, acc: InitAccumulator):
-    """Masked static initialization: returns (fs', acc', did_init)."""
+    """Masked static initialization: returns (fs', acc', did_init).
+
+    Stationarity needs BOTH accelerometer-variance AND image stillness over
+    the window. The image gate is REQUIRED evidence, not a refinement:
+    constant-velocity translation is IMU-indistinguishable from rest
+    (a = R g, w = bias in both; the gyro doesn't discriminate either —
+    measured window gyro variance is ~6e-5 in standstill AND in cruise), so
+    the accelerometer gate alone false-fires during smooth motion — measured
+    on the moving-start sim: a rolling 200-sample window dips to var
+    0.02 << 0.25 mid-run, initializing the filter at v=0 while truly moving
+    ~1 m/s, after which zero-baseline triangulation rejects every update
+    (deadlock; diverges to |v|>20 m/s). Features sweeping the image are the
+    discriminator the IMU cannot provide (ref:StaticInitializer runs only at
+    sequence start for the same reason, SURVEY.md §3.4). The motion average
+    is windowed, not per-frame, because a single frame's mean displacement
+    under realistic pixel noise (~0.0035 normalized at sigma=0.002) sits
+    between the ZUPT gate (0.002) and the slowest real motion of interest
+    (~0.0065 at 1 m/s, 5-10 m scene) — the window mean separates them.
+    """
     fcfg = cfg.filter
     n = jnp.maximum(acc.count.astype(fs.P.dtype), 1.0)
     mean_a = acc.sum_a / n
     mean_w = acc.sum_w / n
     var_a = acc.sum_a2 / n - jnp.sum(mean_a * mean_a)
+    win_motion = acc.sum_motion / jnp.maximum(
+        acc.n_frames.astype(fs.P.dtype), 1.0
+    )
+    image_still = win_motion < fcfg.static_init_max_feature_dis
 
     ready = (acc.count >= fcfg.static_init_samples) & ~fs.initialized
-    stationary = var_a < fcfg.static_init_accel_var
+    stationary = (var_a < fcfg.static_init_accel_var) & image_still
     do_init = ready & stationary
 
     q0 = gravity_aligned_quat(mean_a)
@@ -122,5 +158,7 @@ def try_static_init(cfg: VioConfig, fs: FilterState, acc: InitAccumulator):
         sum_a2=jnp.where(restart, 0.0, acc.sum_a2),
         count=jnp.where(restart, 0, acc.count),
         last_t=acc.last_t,
+        sum_motion=jnp.where(restart, 0.0, acc.sum_motion),
+        n_frames=jnp.where(restart, 0, acc.n_frames),
     )
     return fs_new, acc_new, do_init

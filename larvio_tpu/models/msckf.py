@@ -83,6 +83,7 @@ class StepOutput(NamedTuple):
     n_slam: jnp.ndarray  # in-state slam features
     p_std: jnp.ndarray  # (3,) position 1-sigma (consistency monitoring)
     v_std: jnp.ndarray  # (3,) velocity 1-sigma (observable — NEES calibration)
+    q_std: jnp.ndarray  # (3,) attitude (theta) 1-sigma; [2] = yaw channel
     did_reset: jnp.ndarray
 
 
@@ -228,7 +229,11 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     S = cfg.filter.max_slam_features
 
     # ---- 1. initialization path (masked) --------------------------------
-    acc = accumulate(vs.init_acc, imu)
+    # the accumulator folds in image-motion evidence: static init requires
+    # image stillness over the window (see try_static_init's docstring —
+    # constant-velocity motion is IMU-indistinguishable from rest, and a v=0
+    # init mid-motion deadlocks on zero-baseline triangulation).
+    acc = accumulate(vs.init_acc, imu, feats.mean_motion)
     fs_init, acc, _ = try_static_init(cfg, fs0, acc)
 
     inited = fs_init.initialized
@@ -547,6 +552,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         n_slam=jnp.sum(fs.slam.valid),
         p_std=jnp.sqrt(jnp.maximum(cov_diag(cfg, fs.P)[12:15], 0.0)),
         v_std=jnp.sqrt(jnp.maximum(cov_diag(cfg, fs.P)[6:9], 0.0)),
+        q_std=jnp.sqrt(jnp.maximum(cov_diag(cfg, fs.P)[0:3], 0.0)),
         did_reset=do_reset,
     )
     return VioState(filter=fs, init_acc=acc), out

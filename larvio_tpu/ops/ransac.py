@@ -85,9 +85,19 @@ def two_point_ransac(
     t = t / jnp.maximum(t_norm, 1e-12)
     hyp_ok = (t_norm[:, 0] > 1e-9) & valid[idx[:, 0]] & valid[idx[:, 1]]
 
-    # residual: angle-ish distance |n_f . t| / |n_f x-y scale|
-    scale = jnp.linalg.norm(n[:, :3], axis=-1)
-    resid = jnp.abs(jnp.einsum("hc,fc->hf", t, n)) / jnp.maximum(scale, 1e-12)[None, :]
+    # residual: perpendicular distance of the current ray from the epipolar
+    # line l = t x r1 of the rotated previous ray, in normalized-plane units
+    # (same units as ``threshold``): |r2 . (t x r1)| / |l_xy|. The numerator
+    # equals |t . n| (scalar triple product), but the denominator MUST be the
+    # image-plane norm of the line, NOT |n|: |n| ~ |flow|, and dividing by it
+    # yields a dimensionless noise/flow ratio (~0.1 for true inliers at 3-5 px
+    # flow) that no coordinate-unit threshold can gate — measured: that form
+    # rejected 80%+ of true inliers as soon as motion left the degenerate
+    # branch, collapsing track lifetimes to ~1 frame during acceleration.
+    l = jnp.cross(t[:, None, :], r1[None, :, :])  # (H, F, 3) epipolar lines
+    l_xy = jnp.linalg.norm(l[..., :2], axis=-1)
+    num = jnp.abs(jnp.einsum("fc,hfc->hf", r2, l))
+    resid = num / jnp.maximum(l_xy, 1e-9)
     inlier_mat = (resid < threshold) & valid[None, :]
     counts = jnp.sum(inlier_mat, axis=1) * hyp_ok
     best = jnp.argmax(counts)

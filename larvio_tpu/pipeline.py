@@ -94,7 +94,11 @@ def run_image_sequence_flexible(
     from larvio_tpu.init.flexible import inject_init_result
 
     T = int(frames.t.shape[0])
-    flex = FlexibleInitializer(cfg, window=15, min_parallax=0.12)
+    # min_parallax: the 15-frame (0.75 s) window at ~1 m/s over a 5-10 m
+    # scene accumulates ~0.08-0.13 median parallax (measured); 0.12 made the
+    # gate flicker against exactly that range and starved the dynamic path.
+    # 0.06 (~28 px at EuRoC focal) still conditions the 5-pt solve well.
+    flex = FlexibleInitializer(cfg, window=15, min_parallax=0.06)
     outs_head = []
     k = 0
     while k < min(max_init_frames, T):

@@ -177,3 +177,60 @@ class TestFlexible:
             if res is not None:
                 break
         assert res is not None and res.mode == "static"
+
+
+class TestStaticInitImageGate:
+    """The on-device static initializer must demand image stillness.
+
+    Constant-velocity translation is IMU-indistinguishable from rest (a = R g,
+    w = bias in both; measured window gyro variance ~6e-5 in standstill AND
+    cruise), so the accel-variance gate alone false-fires mid-motion: on the
+    moving-start sim a rolling 200-sample window dips to var 0.02 << 0.25,
+    initializing at v=0 while truly moving ~1 m/s — after which zero-baseline
+    triangulation rejects every update and the filter diverges to |v| > 20 m/s
+    (the round-4 TPU moving-start bug). The windowed image-motion gate
+    (FilterConfig.static_init_max_feature_dis) is the discriminator.
+    """
+
+    @pytest.mark.slow
+    def test_never_fires_mid_motion(self):
+        import jax
+
+        from larvio_tpu.api import make_frame_inputs, run_sequence
+        from larvio_tpu.models.msckf import init_vio_state
+
+        cfg = VioConfig()
+        sim = Simulator(
+            SimConfig(duration=10.0, static_lead_in=0.0,
+                      gyro_bias=(0.01, -0.02, 0.015)), cfg)
+        feats, imu = make_frame_inputs(sim.generate())
+        _, outs = run_sequence(cfg, init_vio_state(cfg), feats, imu)
+        assert not bool(np.asarray(outs.initialized).any()), (
+            "static init fired during continuous motion")
+
+    @pytest.mark.slow
+    def test_fires_on_noisy_standstill(self):
+        """Positive control at the NEES-harness noise level: pixel noise
+        (~0.0035 normalized mean displacement, ABOVE the ZUPT gate) must not
+        starve static init; it fires as soon as the lead-in window clears the
+        track-birth transient."""
+        import jax
+
+        from larvio_tpu.api import make_frame_inputs, run_sequence
+        from larvio_tpu.config import FilterConfig, NoiseConfig
+        from larvio_tpu.models.msckf import init_vio_state
+
+        cfg = VioConfig(filter=FilterConfig(sqrt_form=True),
+                        noise=NoiseConfig(observation_noise=0.002))
+        sim = Simulator(
+            SimConfig(duration=6.0, pixel_noise=0.002, gyro_noise=0.005,
+                      acc_noise=0.05, seed=0), cfg)
+        data = sim.generate()
+        feats, imu = make_frame_inputs(data)
+        _, outs = run_sequence(cfg, init_vio_state(cfg), feats, imu)
+        import jax as _jax
+        outs = _jax.tree.map(np.asarray, outs)
+        assert outs.initialized.any()
+        ini = int(np.argmax(outs.initialized))
+        assert ini <= 45, f"static init too late under pixel noise: frame {ini}"
+        assert int(outs.did_reset.sum()) == 0

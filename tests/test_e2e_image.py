@@ -43,7 +43,9 @@ def test_image_pipeline_end_to_end():
     assert int(outs.did_reset.sum()) == 0
     assert outs.n_tracks[m].mean() > 80  # healthy track count
     ate = ate_rmse(outs.p[m], data["gt_p"][m])
-    assert ate < 0.05, f"image-level ATE {ate:.3f}"
+    # 0.009 measured after the r4 two-point-RANSAC residual fix (the old
+    # noise/flow-ratio residual killed most true inliers during motion)
+    assert ate < 0.03, f"image-level ATE {ate:.3f}"
 
 
 @pytest.mark.slow
@@ -72,7 +74,10 @@ def test_image_pipeline_moving_start_flexible():
     ps, outs = run_image_sequence_flexible(cfg, ps, frames)
     outs = jax.tree.map(np.asarray, outs)
     m = outs.initialized.astype(bool)
-    assert m.sum() > 140  # initialized within ~3 s of a 10 s run
+    assert m.sum() > 175  # dynamic init fires within ~1.5 s (measured: 0.85 s)
     assert int(outs.did_reset.sum()) == 0
     ate = ate_rmse(outs.p[m], data["gt_p"][m])
-    assert ate < 0.5, f"moving-start image-level ATE {ate:.3f}"
+    # VERDICT r3 #7 asked for <=0.3 (the feature-level gate); measured 0.012
+    # after the r4 fixes (two-point-RANSAC residual units, static-init image
+    # gate, host-stationary image evidence, min_parallax 0.12 -> 0.06)
+    assert ate < 0.15, f"moving-start image-level ATE {ate:.3f}"

@@ -166,6 +166,13 @@ class FilterConfig:
     # covariance-consistent relinearization (unlike a bare null refresh,
     # which leaks observability — the r3 slam_relin_sigma ablation).
     slam_max_lifetime: int = 0
+    # landmark random walk (models/propagation._slam_frame_noise): per-sqrt(s)
+    # std added to each in-state landmark's inverse depth (rho, 1/m units;
+    # bearing gets 0.2x). Models the FEJ frozen-linearization error as slow
+    # landmark drift so a long-lived slam feature cannot accumulate unbounded
+    # information and anchor the pose overconfidently — the measured source
+    # of the exact-noise horizontal-position NEES bias (ROADMAP #4). 0 = off.
+    slam_process_noise: float = 0.0
     # relinearize a slam feature's FEJ null when the estimate has moved more
     # than this many feature-sigmas away from it (models/slam.py
     # relinearize_nulls): pure FEJ freezes the promotion-time triangulation

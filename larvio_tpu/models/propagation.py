@@ -37,6 +37,7 @@ from larvio_tpu.models.state import (
     IDX_THETA,
     IDX_V,
     IMU_DIM,
+    slam_offset,
 )
 
 
@@ -262,7 +263,9 @@ def _propagate_parallel(cfg, fs, imu, t_target_img):
     S_after = jnp.concatenate([R_suffix[1:], eye15[None]], axis=0)
     Q_acc = jnp.sum(mm(mm(S_after, Qd_s), jnp.swapaxes(S_after, -1, -2)), axis=0)
 
-    P = _apply_frame_transition(cfg, fs.P, Phi_acc, Q_acc)
+    P = _apply_frame_transition(
+        cfg, fs.P, Phi_acc, Q_acc, _slam_frame_noise(cfg, fs, jnp.sum(dt))
+    )
 
     q_new = quat_normalize(q_chain[-1])
     return fs.replace(
@@ -272,7 +275,7 @@ def _propagate_parallel(cfg, fs, imu, t_target_img):
     )
 
 
-def _apply_frame_transition(cfg, P, Phi_acc, Q_acc):
+def _apply_frame_transition(cfg, P, Phi_acc, Q_acc, slam_q=None):
     """P <- diag(Phi,I) P diag(Phi,I)^T + diag(Q,0), in dense or factor form.
 
     Factor form (sqrt_form): the transition is a row op on the factor
@@ -285,6 +288,11 @@ def _apply_frame_transition(cfg, P, Phi_acc, Q_acc):
     compression drops a full CholeskyQR2 (2 Cholesky custom calls + a blocked
     triangular solve + 2 (D,W) GEMMs) from every frame; the implied
     covariance is unchanged and still PSD by construction.
+
+    ``slam_q`` (optional, (3*max_slam,) per-component std over this frame)
+    injects a landmark random walk on the in-state slam rows
+    (FilterConfig.slam_process_noise): dense adds slam_q^2 to the slam
+    diagonal; sqrt appends one noise column per slam component.
     """
     if cfg.filter.sqrt_form:
         from larvio_tpu.core.linalg import psd_chol
@@ -292,12 +300,44 @@ def _apply_frame_transition(cfg, P, Phi_acc, Q_acc):
         S = P.at[:IMU_DIM, :].set(mm(Phi_acc, P[:IMU_DIM, :]))
         Lq = psd_chol(Q_acc)
         col = jnp.zeros((S.shape[0], IMU_DIM), S.dtype).at[:IMU_DIM, :].set(Lq)
-        return jnp.concatenate([S, col], axis=1)
+        S = jnp.concatenate([S, col], axis=1)
+        if slam_q is not None:
+            n = slam_q.shape[0]
+            base = slam_offset(cfg, 0)
+            scol = jnp.zeros((S.shape[0], n), S.dtype)
+            scol = scol.at[base + jnp.arange(n), jnp.arange(n)].set(slam_q)
+            S = jnp.concatenate([S, scol], axis=1)
+        return S
     top = mm(Phi_acc, P[:IMU_DIM, :])
     P = P.at[:IMU_DIM, :].set(top)
     P = P.at[:, :IMU_DIM].set(mm(P[:, :IMU_DIM], Phi_acc.T))
     P = P.at[:IMU_DIM, :IMU_DIM].add(Q_acc)
+    if slam_q is not None:
+        base = slam_offset(cfg, 0)
+        idx = base + jnp.arange(slam_q.shape[0])
+        P = P.at[idx, idx].add(slam_q**2)
     return symmetrize(P)
+
+
+def _slam_frame_noise(cfg, fs, dt_frame):
+    """(3*max_slam,) per-component random-walk std for this frame, or None.
+
+    Models the slam path's FEJ linearization-error dynamics as an idp random
+    walk (FilterConfig.slam_process_noise): a frozen-linearization landmark
+    otherwise accumulates information without bound and acts as a too-strong
+    long-horizon anchor, which is the measured source of the exact-noise
+    horizontal-position overconfidence (ROADMAP #4). alpha/beta (bearing)
+    get 0.2x the rho value, matching the promotion gates' sigma ratio
+    (slam._MAX_AB_SIGMA=0.05 vs slam_max_init_rho_sigma=0.25).
+    """
+    spn = cfg.filter.slam_process_noise
+    if spn <= 0.0 or cfg.filter.max_slam_features == 0:
+        return None
+    dtype = fs.P.dtype
+    w = jnp.array([0.2, 0.2, 1.0], dtype)
+    scale = spn * jnp.sqrt(jnp.clip(dt_frame, 0.0, 1.0)).astype(dtype)
+    per_slot = fs.slam.valid.astype(dtype)[:, None] * w[None, :]
+    return scale * per_slot.reshape(-1)
 
 
 def _propagate_sequential(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_target_img: jnp.ndarray) -> FilterState:
@@ -378,7 +418,10 @@ def _propagate_sequential(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_targ
 
     # apply the accumulated frame transition to the full covariance once:
     # P <- diag(Phi,I) P diag(Phi,I)^T + diag(Q,0)
-    P = _apply_frame_transition(cfg, fs.P, Phi_acc, Q_acc)
+    P = _apply_frame_transition(
+        cfg, fs.P, Phi_acc, Q_acc,
+        _slam_frame_noise(cfg, fs, jnp.maximum(t_cur - fs.time, 0.0)),
+    )
 
     return fs.replace(
         q=q, bg=bg, v=v, ba=ba, p=p,

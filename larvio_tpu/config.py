@@ -133,7 +133,29 @@ class FilterConfig:
 
     max_clones: int = 20
     max_slam_features: int = 12  # hybrid SLAM features (0 = pure MSCKF)
-    slam_promote_obs: int = 16  # window length that triggers promotion
+    # Minimum observation COUNT before a track may promote to an in-state
+    # slam landmark — a conditioning floor only; the consistency-critical
+    # gate is slam_promote_span below. (The r4 exact-noise sweep first
+    # raised this count to the full window, 16 -> 20, taking horizontal
+    # position NEES from ~20-28 to ~1 and ATE-like 0.249 -> 0.086; the span
+    # gate keeps that baseline property without demanding a HOLE-FREE
+    # window, which starved promotion at image level where LK tracks drop
+    # frames — n_slam 1.17 -> 0.6 and ATE 0.113 -> 0.141 at count=20.)
+    slam_promote_obs: int = 12
+    # Minimum FRAME SPAN (newest-oldest observing clone, inclusive) before
+    # promotion. 0 (default) = max_clones: promotion only from tracks whose
+    # observations span the FULL clone window, so the FEJ-frozen
+    # linearization point comes from the longest possible triangulation
+    # baseline — the r4 root fix for exact-noise position overconfidence.
+    # Span, not count: a tracking hole leaves the baseline (and thus the
+    # triangulation bias) unchanged, so it must not block promotion.
+    slam_promote_span: int = 0
+    # Require the track to be observed at EVERY surviving clone (window-
+    # complete) instead of only spanning the window. Clones removed by
+    # redundancy pruning drop out of both sides of the comparison, so —
+    # unlike a raw count threshold — slow-motion prunes don't permanently
+    # disqualify long tracks.
+    slam_promote_complete: bool = True
     # promote only if the initialized inverse-depth sigma is below this (1/m);
     # the bearing gate is fixed (slam._MAX_AB_SIGMA). Inverse depth keeps this
     # unit-correct for near AND far features (a metric depth gate starves
@@ -165,7 +187,10 @@ class FilterConfig:
     # delayed-init channel ~slam_promote_obs frames later — an honest,
     # covariance-consistent relinearization (unlike a bare null refresh,
     # which leaks observability — the r3 slam_relin_sigma ablation).
-    slam_max_lifetime: int = 0
+    # Default 20 (one window): with slam_promote_obs=20 alone the NEES
+    # quarter-profile still creeps (0.8 -> 1.9 over 10 s); the cap flattens
+    # it ([0.79, 0.64, 0.79, 0.96]) at no measured accuracy cost (r4 sweep).
+    slam_max_lifetime: int = 20
     # landmark random walk (models/propagation._slam_frame_noise): per-sqrt(s)
     # std added to each in-state landmark's inverse depth (rho, 1/m units;
     # bearing gets 0.2x). Models the FEJ frozen-linearization error as slow

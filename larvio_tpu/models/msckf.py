@@ -337,23 +337,57 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         slam_H, slam_r, slam_accept, slam_hard_fail = slam_mod.slam_measurement_blocks(
             cfg, fs, feats, newest
         )
-    # promotion candidates: still-alive full-window tracks; their windows are
-    # consumed by MSCKF-style blocks in this same update, then cleared.
+    # promotion candidates: still-alive tracks whose observations SPAN the
+    # full clone window (slam_promote_span) with at least slam_promote_obs
+    # of them present; their windows are consumed by MSCKF-style blocks in
+    # this same update, then cleared. Span, not count: the FEJ-frozen
+    # linearization bias of a fresh landmark scales with the triangulation
+    # baseline (oldest..newest observing clone), which a tracking hole does
+    # not shrink — a count gate at the full window starves promotion on real
+    # image tracks (LK dropouts), a span gate does not.
     # Bootstrap mode: while velocity uncertainty is high (right after a rough
     # dynamic init or an online reset), also consume the longest live tracks
     # every frame — the only correction channel before tracks die or the
     # window fills, and the difference between recovering and diverging.
     n_obs_now = jnp.sum(fs.obs.valid, axis=1)
+    obs_mask = fs.obs.valid & fs.clones.valid[None, :]
+    _BIG = jnp.int32(1 << 30)
+    cframe = jnp.where(fs.clones.valid, fs.clones.frame, -1)
+    f_hi = jnp.max(jnp.where(obs_mask, cframe[None, :], -_BIG), axis=1)
+    f_lo = jnp.min(jnp.where(obs_mask, cframe[None, :], _BIG), axis=1)
+    span_now = jnp.where(n_obs_now > 0, f_hi - f_lo + 1, 0)
+    # complete = observed at EVERY surviving clone: the oldest valid clone is
+    # in the track's window (span reaches both window ends) and no surviving
+    # mid-window clone missed it (a pruned clone is gone from both sides of
+    # the comparison, so redundancy pruning does not punch disqualifying
+    # holes the way it does for a raw count threshold).
+    n_valid_clones = jnp.sum(fs.clones.valid)
+    oldest_frame = jnp.min(jnp.where(fs.clones.valid, fs.clones.frame, _BIG))
+    newest_frame = jnp.max(cframe)
+    complete = (
+        (n_obs_now >= n_valid_clones)
+        & (f_lo <= oldest_frame)
+        & (f_hi >= newest_frame)
+    )
     still_tracked = feats.valid & (feats.ids == fs.obs.track_id)
     bootstrap = _bootstrap_mode(cfg, fs)
     promote_thresh = jnp.where(
         bootstrap, cfg.filter.bootstrap_min_obs, cfg.filter.slam_promote_obs
     )
+    full_span = cfg.filter.slam_promote_span or cfg.filter.max_clones
+    span_thresh = jnp.where(bootstrap, 0, full_span)
+    # span_now >= span_thresh enforces window MATURITY too (complete alone
+    # would admit short-baseline promotions during window fill-up, when every
+    # persistent track is trivially window-complete).
+    span_ok = span_now >= span_thresh
+    if cfg.filter.slam_promote_complete:
+        span_ok = span_ok & (complete | bootstrap)
     promote_cand = (
         still_tracked
         & ~owned
         & (fs.obs.track_id >= 0)
         & (n_obs_now >= promote_thresh)
+        & span_ok
         & inited
     ) if S > 0 else jnp.zeros_like(dead_rows)
     with jax.named_scope("filt.consume"):

@@ -407,20 +407,26 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
             jnp.maximum(infl_b, cfg.filter.bootstrap_noise_floor**2),
             cfg.noise.observation_noise**2,
         )
+        enable_b = inited & (n_acc_b > 0)
         fs, dx, upd_ok = apply_update(
             cfg, fs, H_b, r_b, obs_var_b,
-            enable=inited & (n_acc_b > 0),
+            enable=enable_b,
         )
         # ---- 7. slam lifecycle: promote consumed candidates, drop lost ------
         # anchor at the newest clone (it survives pruning longest; re-anchoring
         # handles the eventual prune of the anchor).
-        # Promotion is gated on the update's finite verdict (ADVICE r3 #1): a
-        # rejected update leaves fs.P as the PRE-update factor — possibly the
+        # Promotion is gated on the update having actually been APPLIED
+        # (ADVICE r3 #1, r4 #4): upd_ok alone is the finite verdict — a
+        # rejected update leaves fs.P as the PRE-update factor, possibly the
         # marginalization update's non-refactored one, whose freed-slot columns
-        # promote_features requires structurally zero — and a dx the delayed
-        # init would wrongly condition on.
-        consumed_sel = consumed_sel & upd_ok
-        consumed_rows = consumed_rows & upd_ok
+        # promote_features requires structurally zero, and a dx the delayed
+        # init would wrongly condition on; and a DISABLED update (every row
+        # chi2-rejected, n_acc_b == 0) is finite yet a no-op, so promoting
+        # through it would install landmarks whose window information was
+        # never applied while still retiring the window.
+        applied = upd_ok & enable_b
+        consumed_sel = consumed_sel & applied
+        consumed_rows = consumed_rows & applied
         fs = slam_mod.promote_features(
             cfg, fs, consume_blocks, consume_tri, consume_idx, consumed_sel, dx,
             anchor_slot=newest,

@@ -361,7 +361,11 @@ def sqrt_update_gram(S, Hw, rw, refactor: bool):
     # call costs a blocked InvertDiagBlocks custom-call chain on TPU).
     Y = jax.scipy.linalg.solve_triangular(
         L, jnp.concatenate([S.T, g], axis=1), lower=True
-    )  # (D, D+1)
+    )  # (W, D+1) — W == D for a square factor, D+15 propagation-wide.
+    # Perf note: for D < n < W the (W, W) Gram chol here is slightly larger
+    # than the (n, n) innovation chol would be; that window is only the 15
+    # propagation columns wide and the innovation path would pay an extra
+    # psd_factor, so the branch in apply_update intentionally stays at n > D.
     Sn = Y[:, :D].T
     dx = mm(Sn, Y[:, D:])[:, 0]
     # a NaN factorization (cannot happen for finite inputs — A >= I — but a

@@ -56,6 +56,8 @@ def main(kw):
 
     obs_hist = np.zeros(cfg.filter.max_clones + 1, np.int64)  # n_obs histogram (live rows)
     per_thresh = {th: 0 for th in (8, 10, 12, 14, 16, 18, 19, 20)}
+    span_thresh = {th: 0 for th in (20, 30, 40, 60)}
+    depth_seq = []  # clone window temporal depth (frames, newest-oldest+1)
     n_valid_clones_seq = []
     n_slam_seq = []
     track_age_at_death = []
@@ -94,6 +96,16 @@ def main(kw):
             obs_hist[min(int(c), cfg.filter.max_clones)] += 1
         for th in per_thresh:
             per_thresh[th] += int((counts >= th).sum())
+        # observation SPAN (frames, newest-oldest observing clone) per live row
+        cframe = np.asarray(fs.clones.frame)
+        om = obs_valid & clones_valid[None, :]
+        f_hi = np.where(om, cframe[None, :], -(1 << 30)).max(axis=1)
+        f_lo = np.where(om, cframe[None, :], 1 << 30).min(axis=1)
+        span = np.where(n_obs > 0, f_hi - f_lo + 1, 0)[live]
+        for th in span_thresh:
+            span_thresh[th] += int((span >= th).sum())
+        if clones_valid.sum() >= 2:
+            depth_seq.append(int(cframe[clones_valid].max() - cframe[clones_valid].min() + 1))
         n_valid_clones_seq.append(int(clones_valid.sum()))
         n_slam_seq.append(int(owned_slots.sum()))
         ids_now = np.asarray(ps.tracker.ids)
@@ -114,6 +126,15 @@ def main(kw):
         "rows_ge_thresh_per_sample": {
             str(th): round(v / max(len(n_valid_clones_seq), 1), 2)
             for th, v in per_thresh.items()
+        },
+        "rows_span_ge_per_sample": {
+            str(th): round(v / max(len(n_valid_clones_seq), 1), 2)
+            for th, v in span_thresh.items()
+        },
+        "window_depth_frames": {
+            "median": float(np.median(depth_seq)) if depth_seq else None,
+            "p90": float(np.percentile(depth_seq, 90)) if depth_seq else None,
+            "max": int(max(depth_seq)) if depth_seq else None,
         },
         "track_death_age": {
             "n": int(ages.size),

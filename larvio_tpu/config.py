@@ -109,7 +109,14 @@ class FrontendConfig:
     track_precision: float = 0.01  # LK convergence threshold (px)
     ransac_threshold: float = 3.0  # px, two-point RANSAC inlier gate
     ransac_hypotheses: int = 64  # fixed hypothesis count (vectorized RANSAC)
-    orb_distance_threshold: int = 60  # Hamming gate for descriptor check
+    # Hamming gate for the descriptor check (vs the descriptor stored at
+    # track birth, computed on the _desc_blur'd image). 60 is measured, not
+    # arbitrary: with blurred descriptors, noisy-workload TRUE tracks sit at
+    # p50 ~26 / p90 ~51 at age 0 (tools/diag_track_death.py), so 60 passes
+    # them; raising to 72 admitted a 60-72 band of genuinely-slid LK tracks
+    # and degraded clean-pixel image ATE 0.011 -> 0.059 — above 60 the
+    # distance measures track slide, which is exactly what the gate is for.
+    orb_distance_threshold: int = 60
     min_distance: int = 15  # min spacing between detected corners (px)
     use_pallas_lk: bool = True  # Pallas LK kernel on TPU (XLA path elsewhere)
 

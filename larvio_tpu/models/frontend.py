@@ -106,6 +106,7 @@ def track_frame(
     imu: ImuBatch,
     t_img: jnp.ndarray,
     bg: jnp.ndarray,  # current gyro-bias estimate from the filter
+    debug: bool = False,  # also return per-gate survival masks (diag tools)
 ) -> Tuple[TrackerState, FrameFeatures]:
     fcfg = cfg.frontend
     F = fcfg.max_features
@@ -164,6 +165,7 @@ def track_frame(
     # is invalidated this frame and its slot recycles next frame — a 1-frame
     # slot-reuse delay vs the reference, measurement content identical)
     tracked = lk.valid
+    lk_survived = tracked  # debug: survived the LK stage
     uvn_curr = undistort_normalize(lk.pos, cfg.camera)
     key = jax.random.PRNGKey(0)
     key = jax.random.fold_in(key, (t_img * 1e4).astype(jnp.int32))
@@ -179,6 +181,7 @@ def track_frame(
             n_hyp=fcfg.ransac_hypotheses,
         )
     tracked = tracked & rr.inliers
+    ransac_survived = tracked  # debug: survived LK + RANSAC
 
     # ---- grid replenishment --------------------------------------------------
     with jax.named_scope("fe.detect"):
@@ -302,4 +305,13 @@ def track_frame(
         prev_time=t_img,
         has_prev=jnp.asarray(True),
     )
+    if debug:
+        return ts_new, feats, {
+            "can_track": can_track,
+            "lk_survived": lk_survived,
+            "ransac_survived": ransac_survived,
+            "orb_survived": tracked,  # after the descriptor gate
+            "is_new": is_new,
+            "orb_dist": dist,  # Hamming distance vs the stored descriptor
+        }
     return ts_new, feats

@@ -158,14 +158,37 @@ def extract_slabs(img: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return (_slabs_pallas if pallas_available() else _slabs_xla)(img, pos)
 
 
+def _desc_blur(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable binomial blur (two [1,4,6,4,1]/16 passes, sigma ~1.4).
+
+    Real ORB computes BRIEF tests on a Gaussian-blurred image (OpenCV: 7x7
+    sigma 2) because single-pixel comparisons are noise-fragile: measured on
+    the noisy bench workload (2/255 sensor noise), raw-image descriptors of
+    RANSAC-verified true tracks sat at median Hamming 67/256 vs the birth
+    descriptor — above the gate (60) — so the ORB check killed >50% of
+    genuinely-tracked features at age 0 (tools/diag_track_death.py). Blurring
+    restores the test margins; edge padding keeps border intensities unbiased
+    (features are margin-gated anyway).
+    """
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+    for axis in (0, 1):
+        p = jnp.pad(img, [(2, 2) if a == axis else (0, 0) for a in (0, 1)],
+                    mode="edge")
+        n = img.shape[axis]
+        img = sum(
+            k[i] * jax.lax.slice_in_dim(p, i, i + n, axis=axis) for i in range(5)
+        )
+    return img
+
+
 def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Descriptors for all feature slots. pos (F,2) px -> (F, 8) uint32.
 
     One contiguous (PATCH x PATCH) slab per feature (Pallas data-parallel
-    extraction on TPU — the vmapped dynamic_slice serializes there);
-    orientation from intensity-centroid moments over the slab; steered test
-    pattern sampled nearest-neighbor from the slab (matching real ORB's
-    integer sampling).
+    extraction on TPU — the vmapped dynamic_slice serializes there) from the
+    descriptor-blurred image (_desc_blur); orientation from intensity-centroid
+    moments over the slab; steered test pattern sampled nearest-neighbor from
+    the slab (matching real ORB's integer sampling).
     """
     pat = jnp.asarray(_PAT)
     xg = jnp.asarray(_XGRID)
@@ -173,7 +196,7 @@ def describe(img: jnp.ndarray, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndar
 
     P32 = 32  # slab padded to the f32 sublane tile
 
-    slabs = extract_slabs(img, pos)
+    slabs = extract_slabs(_desc_blur(img), pos)
 
     def one(slab, ok):
         m10 = jnp.sum(slab * xg)

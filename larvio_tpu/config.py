@@ -139,30 +139,30 @@ class FilterConfig:
     """
 
     max_clones: int = 20
-    max_slam_features: int = 12  # hybrid SLAM features (0 = pure MSCKF)
+    # Hybrid SLAM feature slots (0 = pure MSCKF). This is a CONSISTENCY knob,
+    # not only a capacity one: promotion candidates are ranked by observation
+    # count (msckf._consume_blocks top_k), so a small slot budget admits only
+    # the best-observed (longest-baseline) tracks, whose FEJ-frozen
+    # triangulation error is smallest. The r5 20-seed exact-noise sweep over
+    # the cap (obs floor 12, no other maturity gate): 12 slots -> horizontal
+    # position NEES ~19-21; 6 slots -> [0.71, 0.84, 0.55], worst-seed error
+    # 0.354 m, flat NEES-over-time quarters — matching the quality of
+    # full-window-count promotion (the r4 fix) WITHOUT its image-level
+    # starvation (real LK tracks drop frames and never cover 20/20 clones;
+    # n_slam 0.6 and bench ATE 0.141 at count=20 vs 1.7 / green here).
+    # Deliberate scarcity also bounds how much FEJ-frozen landmark
+    # information can pin the pose at once.
+    max_slam_features: int = 6
     # Minimum observation COUNT before a track may promote to an in-state
-    # slam landmark — a conditioning floor only; the consistency-critical
-    # gate is slam_promote_span below. (The r4 exact-noise sweep first
-    # raised this count to the full window, 16 -> 20, taking horizontal
-    # position NEES from ~20-28 to ~1 and ATE-like 0.249 -> 0.086; the span
-    # gate keeps that baseline property without demanding a HOLE-FREE
-    # window, which starved promotion at image level where LK tracks drop
-    # frames — n_slam 1.17 -> 0.6 and ATE 0.113 -> 0.141 at count=20.)
+    # slam landmark — a floor only; selection pressure from the slot budget
+    # above is what keeps promotion quality high. (r5 sweep: with 12 slots
+    # this floor alone measured NEES ~20 at exact noise — a floor does not
+    # select. Span/window-completeness maturity gates were tried in r4-r5
+    # and DELETED: absolute-span thresholds were non-monotonic cliffs —
+    # span 30 failed NEES ~21, 40 passed ~2.6, 48+ failed ~4-6 with 3x yaw
+    # degradation — and window-completeness starved image-level promotion,
+    # the r4 shipped regression.)
     slam_promote_obs: int = 12
-    # Minimum FRAME SPAN (newest-oldest observing clone, inclusive) before
-    # promotion. 0 (default) = max_clones: promotion only from tracks whose
-    # observations span the FULL clone window, so the FEJ-frozen
-    # linearization point comes from the longest possible triangulation
-    # baseline — the r4 root fix for exact-noise position overconfidence.
-    # Span, not count: a tracking hole leaves the baseline (and thus the
-    # triangulation bias) unchanged, so it must not block promotion.
-    slam_promote_span: int = 0
-    # Require the track to be observed at EVERY surviving clone (window-
-    # complete) instead of only spanning the window. Clones removed by
-    # redundancy pruning drop out of both sides of the comparison, so —
-    # unlike a raw count threshold — slow-motion prunes don't permanently
-    # disqualify long tracks.
-    slam_promote_complete: bool = True
     # promote only if the initialized inverse-depth sigma is below this (1/m);
     # the bearing gate is fixed (slam._MAX_AB_SIGMA). Inverse depth keeps this
     # unit-correct for near AND far features (a metric depth gate starves
@@ -214,6 +214,19 @@ class FilterConfig:
     # linearization point. 0 disables (pure FEJ).
     slam_relin_sigma: float = 0.0
     imu_slots_per_frame: int = 24  # padded IMU samples per camera frame
+    # Vision-time gate (s): a frame's vision is consumed only if propagation
+    # actually reached the image time, fs.time >= t_img + td - tol. During an
+    # IMU blackout the state freezes while the camera keeps moving; a clone
+    # stamped then pairs the frame's observations with a stale pose and slam
+    # rows read the motion gap as landmark innovation — measured: a 3-frame
+    # (150 ms) blackout seeds a slow divergence that vision never unwinds
+    # (tests/test_e2e_sim.py::test_imu_gap_robustness). The reference buffers
+    # images until IMU catches up (ref: larvio imgCallback/imuCallback sync);
+    # in a fixed-slot scan, dropping the frame's vision is the honest
+    # analogue. Nominal lag is 0 (propagation clamps at t_img + td when the
+    # frame's IMU slots cover it), so 20 ms distinguishes "short a tail
+    # sample" (keep) from "missed a frame of IMU" (drop).
+    vision_time_tol: float = 0.02
     max_update_features: int = 24  # max dead tracks per MSCKF update batch
     max_prune_features: int = 24  # max features marginalized per prune event
     estimate_extrinsic: bool = True
@@ -229,6 +242,26 @@ class FilterConfig:
     prior_td_std: float = 2.5e-2  # s
     # triangulation
     tri_max_iterations: int = 6
+    # Per-observation outlier trim: observations whose reprojection residual
+    # at the triangulated point exceeds tri_trim_k x the window's own robust
+    # scale (mean residual, floored at tri_trim_floor) are DROPPED from the
+    # consumed/marginalized measurement block
+    # (msckf._consume_blocks/_marginalization_blocks). The scale SELF-SCALES
+    # on the window's residuals — deliberately NOT on the modeled observation
+    # noise, whose conservative default carries a ~2.5x safety factor that
+    # would mask gross outliers — and during bootstrap the window's residuals
+    # are uniformly large (pose inconsistency, not bad matches), which keeps
+    # the trim inert. Rationale: the block-level Huber in
+    # update.feature_block acts on the PROJECTED rows, after Householder
+    # elimination has already smeared a gross outlier across the whole
+    # block, so it cannot excise it; with a small slam slot budget one
+    # outlier-poisoned promoted landmark carries 1/S of the slam information
+    # (measured on the test_consistency.py outlier workload, 3% gross
+    # mismatches: ATE 0.166 at 6 slots / 0.067 at 12 before the trim).
+    # The GN triangulation itself stays least-squares — see the
+    # models/triangulation.py tail note. 0 disables.
+    tri_trim_k: float = 4.0
+    tri_trim_floor: float = 0.005
     tri_translation_threshold: float = 0.2  # checkMotion baseline gate (m)
     tri_max_depth: float = 60.0
     tri_min_depth: float = 0.2

@@ -114,6 +114,23 @@ def _tri_err_bound(cfg: VioConfig, fs: FilterState):
     )
 
 
+def _trim_rows(cfg: VioConfig, tri, mask):
+    """Per-observation outlier trim on a triangulated window batch (F, C):
+    drop observations whose RAW reprojection residual exceeds tri_trim_k x
+    the window's own robust scale. The block-level Huber in
+    update.feature_block cannot do this — it weights the PROJECTED rows,
+    after Householder elimination has smeared a gross outlier across the
+    whole block (see the config.py tri_huber_k comment for the measured
+    failure). Self-scaling keeps it inert during bootstrap."""
+    k = cfg.filter.tri_trim_k
+    if k <= 0:
+        return mask
+    rn = jnp.where(mask, tri.resid, 0.0)
+    n = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(rn.dtype)
+    scale = jnp.maximum(jnp.sum(rn, axis=1) / n, cfg.filter.tri_trim_floor)
+    return mask & (tri.resid <= k * scale[:, None])
+
+
 def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeatures,
                             slot_a, slot_b, do_prune):
     """Dead-track (ref:removeLostFeatures) + prune-observation blocks, built
@@ -155,9 +172,11 @@ def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeature
     cams = camera_window(fs)
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, tri_mask)
     tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
+    trim = _trim_rows(cfg, tri, tri_mask)
 
-    # dead features: full projected blocks (all surviving rows)
-    row_d = obs.valid[idx_d] & sel_d[:, None]
+    # dead features: full projected blocks (all surviving rows, outlier rows
+    # trimmed)
+    row_d = trim[:K] & sel_d[:, None]
     blocks = jax.vmap(
         lambda p_w, uv, m, tv: feature_block(cfg, fs, p_w, uv, m, tv)
     )(tri.p_w[:K], uv_b[:K], row_d, tri_ok[:K] & sel_d)
@@ -169,7 +188,7 @@ def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeature
 
     slots = jnp.stack([slot_a, slot_b])
     uv_p = obs.uv[idx_p][:, slots]  # (K2, 2, 2)
-    ok_p = row_mask_all[idx_p] [:, slots] & sel_p[:, None]  # (K2, 2)
+    ok_p = row_mask_all[idx_p][:, slots] & sel_p[:, None] & trim[K:][:, slots]  # (K2, 2)
     H_p, r_p, acc_p = jax.vmap(
         lambda p_w, uv2, ok2, tv: prune_feature_block(cfg, fs, p_w, uv2, slots, ok2, tv)
     )(tri.p_w[K:], uv_p, ok_p, tri_ok[K:] & sel_p)
@@ -212,9 +231,15 @@ def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
     cams = camera_window(fs)
     tri = triangulate_batch(cfg, cams, fs.clones.frame, uv_b, mask_b)
     tri_ok = tri.valid & (tri.mean_err < _tri_err_bound(cfg, fs))
+    # outlier rows trimmed from the consumed block — critical here: the
+    # promoted landmark's delayed init reads this block, and with a small
+    # slot budget one outlier-biased landmark carries 1/S of the slam
+    # information (measured: 3% gross mismatches, 6 slots -> ATE 0.166 vs
+    # 0.067 at 12 slots before the trim)
+    mask_t = _trim_rows(cfg, tri, mask_b)
     blocks = jax.vmap(
         lambda p_w, uv, m, tv: feature_block(cfg, fs, p_w, uv, m, tv)
-    )(tri.p_w, uv_b, mask_b, tri_ok & sel)
+    )(tri.p_w, uv_b, mask_t, tri_ok & sel)
 
     sel = sel & blocks.accept  # only promoted if the block actually updated
     consumed = jnp.zeros_like(cand).at[jnp.clip(idx, 0, cand.shape[0] - 1)].set(sel)
@@ -256,6 +281,19 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         fs = jax.tree.map(
             lambda a, b: jnp.where(inited, a, b), fs_prop, fs_init_m
         )
+
+    # ---- 2b. vision-time gate ----------------------------------------------
+    # Consume this frame's vision only if propagation REACHED the image time.
+    # Under an IMU blackout fs.time freezes while the camera keeps moving, so
+    # a clone stamped now would pair the frame's observations with a stale
+    # pose and the slam rows would read the motion gap as landmark innovation
+    # — a few such frames seed a slow divergence vision never unwinds. Drop
+    # the frame's vision instead (see config.vision_time_tol): tracks retire
+    # through the normal dead-track marginalization, whose stored windows
+    # pair old observations with their own, correctly-timed clones.
+    t_reached = fs.time >= feats.t + fs.td - cfg.filter.vision_time_tol
+    vision_ok = t_reached | ~inited  # pre-init paths keep their own gating
+    feats = feats._replace(valid=feats.valid & vision_ok)
 
     # ---- 3. ZUPT detection ------------------------------------------------
     n_tracked = jnp.sum(feats.valid)
@@ -321,7 +359,9 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     # variance bounded while vision updates are suspended. The redundancy
     # pruning heuristic recycles the resulting near-duplicate clones.
     owned = slam_mod.slam_owned_rows(cfg, fs)
-    do_augment = inited & (jnp.sum(fs.clones.valid) < C)
+    # vision-time gate: no clone for a frame whose image time propagation
+    # never reached (see 2b) — its pose/time stamp would be stale.
+    do_augment = inited & t_reached & (jnp.sum(fs.clones.valid) < C)
     # body rate at clone time: last valid IMU sample, bias-corrected
     last = jnp.argmax(jnp.where(imu.valid, imu.t, -jnp.inf))
     w_body = imu.w[last] - fs.bg
@@ -337,57 +377,30 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
         slam_H, slam_r, slam_accept, slam_hard_fail = slam_mod.slam_measurement_blocks(
             cfg, fs, feats, newest
         )
-    # promotion candidates: still-alive tracks whose observations SPAN the
-    # full clone window (slam_promote_span) with at least slam_promote_obs
-    # of them present; their windows are consumed by MSCKF-style blocks in
-    # this same update, then cleared. Span, not count: the FEJ-frozen
-    # linearization bias of a fresh landmark scales with the triangulation
-    # baseline (oldest..newest observing clone), which a tracking hole does
-    # not shrink — a count gate at the full window starves promotion on real
-    # image tracks (LK dropouts), a span gate does not.
+    # promotion candidates: still-alive tracks with at least slam_promote_obs
+    # window observations; their windows are consumed by MSCKF-style blocks
+    # in this same update, then cleared. The count threshold is only a FLOOR:
+    # the real quality gate is the slam slot budget — _consume_blocks ranks
+    # candidates by observation count and the small max_slam_features cap
+    # admits only the best-observed (longest-baseline) tracks, whose
+    # FEJ-frozen triangulation error is smallest (see the max_slam_features
+    # comment in config.py for the r4-r5 sweep history: explicit span /
+    # window-completeness maturity gates were measured worse and deleted).
     # Bootstrap mode: while velocity uncertainty is high (right after a rough
     # dynamic init or an online reset), also consume the longest live tracks
     # every frame — the only correction channel before tracks die or the
     # window fills, and the difference between recovering and diverging.
     n_obs_now = jnp.sum(fs.obs.valid, axis=1)
-    obs_mask = fs.obs.valid & fs.clones.valid[None, :]
-    _BIG = jnp.int32(1 << 30)
-    cframe = jnp.where(fs.clones.valid, fs.clones.frame, -1)
-    f_hi = jnp.max(jnp.where(obs_mask, cframe[None, :], -_BIG), axis=1)
-    f_lo = jnp.min(jnp.where(obs_mask, cframe[None, :], _BIG), axis=1)
-    span_now = jnp.where(n_obs_now > 0, f_hi - f_lo + 1, 0)
-    # complete = observed at EVERY surviving clone: the oldest valid clone is
-    # in the track's window (span reaches both window ends) and no surviving
-    # mid-window clone missed it (a pruned clone is gone from both sides of
-    # the comparison, so redundancy pruning does not punch disqualifying
-    # holes the way it does for a raw count threshold).
-    n_valid_clones = jnp.sum(fs.clones.valid)
-    oldest_frame = jnp.min(jnp.where(fs.clones.valid, fs.clones.frame, _BIG))
-    newest_frame = jnp.max(cframe)
-    complete = (
-        (n_obs_now >= n_valid_clones)
-        & (f_lo <= oldest_frame)
-        & (f_hi >= newest_frame)
-    )
     still_tracked = feats.valid & (feats.ids == fs.obs.track_id)
     bootstrap = _bootstrap_mode(cfg, fs)
     promote_thresh = jnp.where(
         bootstrap, cfg.filter.bootstrap_min_obs, cfg.filter.slam_promote_obs
     )
-    full_span = cfg.filter.slam_promote_span or cfg.filter.max_clones
-    span_thresh = jnp.where(bootstrap, 0, full_span)
-    # span_now >= span_thresh enforces window MATURITY too (complete alone
-    # would admit short-baseline promotions during window fill-up, when every
-    # persistent track is trivially window-complete).
-    span_ok = span_now >= span_thresh
-    if cfg.filter.slam_promote_complete:
-        span_ok = span_ok & (complete | bootstrap)
     promote_cand = (
         still_tracked
         & ~owned
         & (fs.obs.track_id >= 0)
         & (n_obs_now >= promote_thresh)
-        & span_ok
         & inited
     ) if S > 0 else jnp.zeros_like(dead_rows)
     with jax.named_scope("filt.consume"):

@@ -268,10 +268,17 @@ def _propagate_parallel(cfg, fs, imu, t_target_img):
     )
 
     q_new = quat_normalize(q_chain[-1])
+    # State time = the time integration actually REACHED, not the target:
+    # under an IMU blackout (no valid slot covers t_target) stamping t_target
+    # would silently skip the un-integrated interval — the next frame's
+    # start = max(fs.time, ...) must re-cover it (with held IMU), and the
+    # vision-time gate (models/msckf.py 2b) must see the lag to drop the
+    # mistimed frame's vision.
+    t_reached = jnp.maximum(fs.time, jnp.max(jnp.where(imu.valid, t_end, -jnp.inf)))
     return fs.replace(
         q=q_new, v=v_chain[-1], p=p_chain[-1],
         q_null=q_new, v_null=v_chain[-1], p_null=p_chain[-1],
-        P=P, time=t_target,
+        P=P, time=t_reached,
     )
 
 
@@ -426,5 +433,6 @@ def _propagate_sequential(cfg: VioConfig, fs: FilterState, imu: ImuBatch, t_targ
     return fs.replace(
         q=q, bg=bg, v=v, ba=ba, p=p,
         q_null=q_null, v_null=v_null, p_null=p_null,
-        P=P, time=t_target,
+        # reached time, not the target (see _propagate_parallel's tail note)
+        P=P, time=t_cur,
     )

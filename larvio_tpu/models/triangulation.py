@@ -47,7 +47,12 @@ class TriangulationResult(NamedTuple):
     p_w: jnp.ndarray  # (3,) world position
     valid: jnp.ndarray  # () bool: motion + depth gates (err gate is the caller's)
     anchor: jnp.ndarray  # () int32 anchor clone slot
-    mean_err: jnp.ndarray  # () mean reprojection residual (normalized units)
+    mean_err: jnp.ndarray  # () mean reprojection residual (normalized units;
+    #     IRLS-weighted when tri_huber_k > 0, so a robustly-fit window with
+    #     one downweighted mismatch reads as its inlier quality)
+    resid: jnp.ndarray  # (C,) RAW per-observation reprojection residual norm
+    #     at the final estimate (0 on invalid slots) — the callers'
+    #     per-observation outlier trim reads this (config tri_trim_k)
 
 
 def _earliest_latest(obs_valid, clone_frame):
@@ -101,7 +106,7 @@ def triangulate_feature(
     x0 = jnp.array([z_a[0], z_a[1], 1.0 / depth0], z_a.dtype)
 
     # --- damped GN on inverse-depth [alpha, beta, rho] -----------------------
-    def residuals_jac(x):
+    def _raw_residuals(x):
         alpha, beta, rho = x[0], x[1], x[2]
         h = (
             jnp.einsum("nab,b->na", R_ja, jnp.array([alpha, beta, 1.0], x.dtype))
@@ -110,6 +115,10 @@ def triangulate_feature(
         h3 = jnp.where(jnp.abs(h[:, 2]) < 1e-8, 1e-8, h[:, 2])
         pred = h[:, :2] / h3[:, None]
         r = jnp.where(obs_valid[:, None], pred - uv, 0.0)  # (C, 2)
+        return r, h, h3
+
+    def residuals_jac(x):
+        r, h, h3 = _raw_residuals(x)
         # d pred / d h
         dpdh = jnp.stack(
             [
@@ -173,7 +182,19 @@ def triangulate_feature(
     mean_err = jnp.sqrt(cost / jnp.maximum(n_obs.astype(x.dtype), 1.0))
     depth_ok = (depth > fcfg.tri_min_depth) & (depth < fcfg.tri_max_depth)
     valid = motion_ok & depth_ok & (n_obs >= 2)
-    return TriangulationResult(p_w=p_w, valid=valid, anchor=anchor, mean_err=mean_err)
+    # per-observation residuals at the final estimate, for the callers'
+    # outlier trim. The GN point itself stays plain least-squares: a gross
+    # outlier biases p_w by ~|r_out|/n, but the consuming measurement block
+    # is nullspace-projected (first-order insensitive to feature-position
+    # error) and the promotion delayed-init ESTIMATES the feature error from
+    # the trimmed range-space rows — so trimming the outlier's rows is
+    # sufficient, and keeps this hot unrolled scan's graph unchanged (an
+    # IRLS reweight inside the loop ballooned XLA:TPU compile).
+    r_raw, _, _ = _raw_residuals(x)
+    resid = jnp.linalg.norm(r_raw, axis=-1)
+    return TriangulationResult(
+        p_w=p_w, valid=valid, anchor=anchor, mean_err=mean_err, resid=resid
+    )
 
 
 def triangulate_batch(cfg, cams, clone_frame, uv_batch, valid_batch):

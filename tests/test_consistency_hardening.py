@@ -288,10 +288,11 @@ class TestMonteCarloNees:
         nees_v = (err_v**2 / np.maximum(outs.v_std, 1e-6) ** 2)[sel].mean(axis=0)
         assert np.all(nees_v < 3.0), nees_v
         # sanity floor against absurd inflation only. The 2.5x noise safety
-        # factor alone predicts ~(0.002/0.005)^2 = 0.16; the r4 full-window
-        # promotion defaults (slam_promote_obs=20, slam_max_lifetime=20) are
-        # deliberately more conservative and measure [0.055, 0.059, 0.046]
-        # here. Exactly-matched calibration (NEES ~0.8) is pinned by
+        # factor alone predicts ~(0.002/0.005)^2 = 0.16; the shipped
+        # promotion defaults (max_slam_features=6 slot budget +
+        # slam_max_lifetime=20, see config.py) are deliberately more
+        # conservative at this workload. Exactly-matched calibration
+        # (NEES ~0.8) is pinned by
         # test_sqrt_filter.py::TestSqrtExactNoiseNees.
         assert np.all(nees_v > 0.02), nees_v
         assert np.all(np.isfinite(outs.p))

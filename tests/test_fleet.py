@@ -97,7 +97,7 @@ class TestShardedProductionShape:
             run_fleet_sequence,
         )
 
-        cfg = VioConfig()  # DEFAULT config: D = 178, 20 clones, 12 slam
+        cfg = VioConfig()  # DEFAULT config: D = 160, 20 clones, 6 slam
         B = 8
         datas = [
             Simulator(

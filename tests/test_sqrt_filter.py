@@ -139,16 +139,24 @@ class TestSqrtExactNoiseNees:
           Joseph @0.002: 2 resets, worst-seed error 1.9 m, velocity NEES ~10
           sqrt   @0.002: 0 resets, worst-seed error 0.6 m, velocity NEES ~1.1
 
-        r4 closed the residual position overconfidence at the root
-        (VERDICT r3 ask #1): full-window promotion (slam_promote_obs =
-        max_clones = 20) plus the one-window lifetime cap
-        (slam_max_lifetime=20) removes the FEJ-frozen short-baseline
-        triangulation bias that drove horizontal-position NEES to ~20-28.
-        Measured at the new defaults (r4 sweep, /tmp/sweep5.log):
-          nees_p [0.77, 0.82, 0.61], quarters [0.79, 0.64, 0.79, 0.96]
-          nees_v [0.28, 0.32, 0.27], worst err 0.264 m, ATE-like 0.095 m.
+        r4-r5 closed the residual position overconfidence at the root
+        (VERDICT r3 ask #1, r4 ask #1): the FEJ-frozen short-baseline
+        triangulation bias of freshly-promoted landmarks drove
+        horizontal-position NEES to ~20 at exact noise. The shipped fix is
+        SELECTION PRESSURE, not a maturity gate: a small slam slot budget
+        (max_slam_features=6) with count-ranked candidate selection admits
+        only the best-observed (longest-baseline) tracks, plus the
+        one-window lifetime cap (slam_max_lifetime=20) to relinearize
+        through honest delayed re-init. (r4's full-window count gate had
+        the same feature-level numbers but starved image-level promotion —
+        the r4 bench regression; r5's span-gate probes were non-monotonic
+        cliffs. Both deleted — see config.py max_slam_features.)
+        Measured at the r5 defaults (TPU, tools/diag_nees.py, includes the
+        per-observation outlier trim — config.tri_trim_k):
+          nees_p [0.55, 0.54, 0.47], quarters [0.55, 0.49, 0.53, 0.61]
+          nees_v [0.32, 0.33, 0.32], worst err 0.305 m, ATE-like 0.098 m.
         The gates pin: no resets, finite everywhere, CALIBRATED velocity
-        AND position NEES (< 3), worst-seed error < 0.6 m (2x margin).
+        AND position NEES (< 3), worst-seed error < 0.6 m (~2x margin).
         """
         from larvio_tpu.api import make_frame_inputs
         from larvio_tpu.parallel.fleet import init_fleet_state, run_fleet_sequence
@@ -187,12 +195,12 @@ class TestSqrtExactNoiseNees:
         nees_v = (err_v**2 / np.maximum(outs.v_std, 1e-6) ** 2)[sel].mean(axis=0)
         assert np.all(nees_v < 3.0), nees_v
         assert np.all(nees_v > 0.05), nees_v
-        # position: CALIBRATED (measured [0.77, 0.82, 0.61] at the r4
+        # position: CALIBRATED (measured [0.55, 0.54, 0.47] at the r5
         # defaults; was ~10 at r3 defaults, Joseph >700 here)
         err_p = outs.p - gt
         nees_p = (err_p**2 / np.maximum(outs.p_std, 1e-6) ** 2)[sel].mean(axis=0)
         assert np.all(nees_p < 3.0), nees_p
         assert np.all(nees_p > 0.05), nees_p
-        # worst-seed absolute error bounded (measured 0.264 m; Joseph 1.9 m)
+        # worst-seed absolute error bounded (measured 0.305 m; Joseph 1.9 m)
         errs = np.linalg.norm(outs.p - gt, axis=-1)
         assert errs.max() < 0.6, errs.max()

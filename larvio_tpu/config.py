@@ -185,6 +185,18 @@ class FilterConfig:
     # units: the landmark's initial rho sigma is scaled by sqrt(1 + k^2).
     # 0 disables.
     slam_init_rho_inflation: float = 0.0
+    # Consume-channel width during BOOTSTRAP mode (post-reset / rough-init
+    # re-convergence): the consume channel is the only correction source
+    # before tracks die or the window fills, and its width sets the
+    # re-convergence rate. The r5 slot-budget redesign (max_slam_features
+    # 12 -> 6) silently halved it because _consume_blocks' top_k width was
+    # tied to the slot budget — NaN-accel recovery ATE degraded 1.55 -> 4.75
+    # (tools + tests/test_failure_recovery.py). Steady-state consumption
+    # stays at the slot budget (that scarcity IS the consistency mechanism);
+    # bootstrap widens to this many windows per frame, the extra ones
+    # retiring as plain MSCKF marginalization. Takes effect when larger than
+    # max_slam_features.
+    bootstrap_consume_k: int = 12
     # lifetime cap (frames) on in-state slam features; 0 disables. Pure FEJ
     # freezes the promotion-time linearization error of a landmark into every
     # subsequent 2-row Jacobian; over a feature's (unbounded) lifetime those

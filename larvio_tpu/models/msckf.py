@@ -199,12 +199,19 @@ def _marginalization_blocks(cfg: VioConfig, fs: FilterState, feats: FrameFeature
     return H_stack, r_stack, n_accepted, dead
 
 
-def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
+def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray,
+                    wide=False):
     """MSCKF blocks consuming promotion candidates' observation windows.
 
-    Selects up to ``max_slam_features`` candidate rows (by window length),
-    returns their nullspace-projected blocks plus the mask of rows actually
-    consumed (these retire this frame and the same set is promoted).
+    Selects candidate rows by window length — up to ``max_slam_features`` in
+    steady state (the slot-budget selection pressure), widened to
+    ``bootstrap_consume_k`` while ``wide`` (high velocity uncertainty:
+    post-reset / rough-init re-convergence), where the consume channel is
+    the main correction source and its width sets the re-convergence rate
+    (extra consumed windows retire as plain MSCKF marginalization; only the
+    top ones can be installed into free slots). Returns the
+    nullspace-projected blocks plus the mask of rows actually consumed
+    (these retire this frame and the same set is promoted).
     """
     from larvio_tpu.models.update import FeatureBlock
 
@@ -220,10 +227,15 @@ def _consume_blocks(cfg: VioConfig, fs: FilterState, cand: jnp.ndarray):
             r3=jnp.zeros((0, 3), fs.P.dtype),
         )
         return empty, jnp.zeros_like(cand), None, None, None
+    K = max(S, cfg.filter.bootstrap_consume_k)
     n_obs = jnp.sum(obs.valid, axis=1)
     score = jnp.where(cand, n_obs, -1)
-    _, idx = jax.lax.top_k(score, S)
+    _, idx = jax.lax.top_k(score, K)
     sel = jnp.take(cand, idx)
+    if K > S:
+        # top_k is count-ordered, so rank < S keeps exactly the slot-budget
+        # selection in steady state; bootstrap opens the full width
+        sel = sel & ((jnp.arange(K) < S) | wide)
 
     uv_b = obs.uv[idx]
     mask_b = obs.valid[idx] & sel[:, None]
@@ -393,6 +405,18 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     n_obs_now = jnp.sum(fs.obs.valid, axis=1)
     still_tracked = feats.valid & (feats.ids == fs.obs.track_id)
     bootstrap = _bootstrap_mode(cfg, fs)
+    # consume-channel WIDTH keys on velocity uncertainty alone — NOT the
+    # window-building condition (which clears ~1 s after a reset while the
+    # wide channel is still the main correction source), and deliberately
+    # not a long post-reset window either: consuming every >=12-obs track
+    # for tens of seconds retires windows at 12 obs that would otherwise
+    # keep growing baseline (a 15 s widened window measured NaN-accel
+    # recovery 0.34 -> 1.64 in the r5 probes). high_unc holds for the first
+    # ~2 s of re-convergence (where extra rows matter most) and is
+    # rare/transient in steady state, where the extra consumed windows are
+    # full-length (promote_thresh stays slam_promote_obs) — the same
+    # marginalization they'd get at track death.
+    wide_consume = jnp.max(cov_diag(cfg, fs.P)[6:9]) > cfg.filter.bootstrap_vel_var
     promote_thresh = jnp.where(
         bootstrap, cfg.filter.bootstrap_min_obs, cfg.filter.slam_promote_obs
     )
@@ -405,7 +429,7 @@ def filter_step(cfg: VioConfig, vs: VioState, feats: FrameFeatures, imu: ImuBatc
     ) if S > 0 else jnp.zeros_like(dead_rows)
     with jax.named_scope("filt.consume"):
         consume_blocks, consumed_rows, consume_idx, consume_tri, consumed_sel = _consume_blocks(
-            cfg, fs, promote_cand
+            cfg, fs, promote_cand, wide_consume
         )
     if S > 0:
         H_b = jnp.concatenate([slam_H, consume_blocks.H.reshape(-1, D)], axis=0)

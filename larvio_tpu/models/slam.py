@@ -55,6 +55,7 @@ from larvio_tpu.models.state import (
     IDX_EXT_THETA,
     SLAM_DIM,
     clone_offset,
+    cov_diag,
     slam_offset,
     state_dim,
 )
@@ -309,6 +310,11 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
     S = cfg.filter.max_slam_features
     if S == 0:
         return fs
+    # candidate-batch length: may exceed the slot budget when bootstrap mode
+    # widens the consume channel (msckf._consume_blocks, bootstrap_consume_k)
+    # — extra consumed windows retire with their MSCKF update applied but can
+    # only be installed while free slots remain (the take/cumsum cap below)
+    K = sel.shape[0]
     obs = fs.obs
     C = cfg.filter.max_clones
     # promotion-INIT noise floor: the delayed-init covariance scales with the
@@ -425,7 +431,7 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
         return idp_hat, zA, P_idp_x, P_idp, df, E, P_fx, A12, T, W
 
     (idp_all, zA_all, P_fx_all, P_ff_all, df_all, E_all, P_fx_raw, A12_all,
-     T_all, W_all) = jax.vmap(init_of)(jnp.arange(S))
+     T_all, W_all) = jax.vmap(init_of)(jnp.arange(K))
 
     # CROSS-covariance between co-promoted features — co-promoted features
     # share the same state errors through their H3 blocks, so leaving these
@@ -457,8 +463,8 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
             return mm(T_all[i], mm(m1 + m2 + m3 + m4, T_all[j].T))
 
         cross_all = jax.vmap(
-            lambda i: jax.vmap(lambda j: cross_of(i, j))(jnp.arange(S))
-        )(jnp.arange(S))  # (S,S,3,3)
+            lambda i: jax.vmap(lambda j: cross_of(i, j))(jnp.arange(K))
+        )(jnp.arange(K))  # (K,K,3,3)
 
     # only promote features whose initialization is well-constrained — a
     # promoted feature's linearization point is (FEJ-)frozen. With inverse
@@ -476,8 +482,8 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
         & (jnp.min(jnp.abs(jnp.diagonal(blocks.Rf, axis1=1, axis2=2)), axis=1) > 1e-4)
         & jnp.all(jnp.isfinite(idp_all), axis=1)
         & jnp.all(jnp.isfinite(df_all), axis=1)
-        & jnp.all(jnp.isfinite(P_fx_all.reshape(S, -1)), axis=1)
-        & jnp.all(jnp.isfinite(P_ff_all.reshape(S, -1)), axis=1)
+        & jnp.all(jnp.isfinite(P_fx_all.reshape(K, -1)), axis=1)
+        & jnp.all(jnp.isfinite(P_ff_all.reshape(K, -1)), axis=1)
         & fs.clones.valid[a_slot]
         & (anchor_slot >= 0)
     )
@@ -495,7 +501,7 @@ def promote_features(cfg: VioConfig, fs: FilterState, blocks, tri, idx, sel, dx,
     # indices are dropped, so untaken slots keep cand 0 but slot_taken=False.
     scatter_idx = jnp.where(take, slot_for_cand, S)
     cand_of_slot = jnp.zeros(S, jnp.int32).at[scatter_idx].set(
-        jnp.arange(S, dtype=jnp.int32), mode="drop"
+        jnp.arange(K, dtype=jnp.int32), mode="drop"
     )
     slot_taken = jnp.zeros(S, bool).at[scatter_idx].set(True, mode="drop")
 
@@ -771,6 +777,12 @@ def drop_lost(cfg: VioConfig, fs: FilterState, feats, hard_fail) -> FilterState:
         & feats.valid[slot]
         & (feats.ids[slot] == fs.slam.track_id)
     )
+    # Post-reset note: suspending the cap during recovery (age freeze keyed
+    # on velocity uncertainty and/or a reset cooldown counter) was tried in
+    # r5 and REVERTED — measured NaN-accel recovery 1.48 -> 1.57/1.61 and it
+    # broke the gyro-fault scale re-learning (biased chaos-phase landmarks
+    # kept pinning the state). The recovery-quality lever that measures well
+    # is the cap VALUE itself (less churn), not conditional suspension.
     age = fs.slam.age + fs.slam.valid.astype(jnp.int32)
     if cfg.filter.slam_max_lifetime > 0:
         expired = fs.slam.valid & (age > cfg.filter.slam_max_lifetime)
